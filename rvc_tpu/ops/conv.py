@@ -1,0 +1,157 @@
+"""Convolution primitives with exact PyTorch semantics on (B, T, C)/(B, H, W, C).
+
+The reference had to hand-build transposed convs with ``output_padding``,
+grouped convs, and dilation emulation on MLX
+(`rvc_mlx/lib/mlx/rmvpe.py:33-67`, `rvc_mlx/train/discriminators.py:19-91`).
+On TPU all of these lower to a single `lax.conv_general_dilated` call that
+XLA tiles onto the MXU; transposed convolution is expressed as an
+lhs-dilated convolution with a flipped kernel (so fwd and bwd share the
+same highly-tuned conv path).
+
+Weight layouts (our canonical storage):
+  conv1d:            (K, Cin // groups, Cout)            -- "WIO"
+  conv_transpose1d:  (K, Cin, Cout)                      -- input-major
+  conv2d:            (KH, KW, Cin // groups, Cout)       -- "HWIO"
+  conv_transpose2d:  (KH, KW, Cin, Cout)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+IntOrPair = Union[int, Tuple[int, int]]
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return (int(v[0]), int(v[1]))
+    return (int(v), int(v))
+
+
+def conv1d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: int = 1,
+    padding: Union[int, Tuple[int, int]] = 0,
+    dilation: int = 1,
+    groups: int = 1,
+) -> jax.Array:
+    """1-D convolution. x: (B, T, Cin), w: (K, Cin//groups, Cout) -> (B, T', Cout)."""
+    pad = _pair(padding) if isinstance(padding, (tuple, list)) else (padding, padding)
+    out = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[pad],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        preferred_element_type=x.dtype,
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def conv_transpose1d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+    output_padding: int = 0,
+) -> jax.Array:
+    """Transposed 1-D convolution with PyTorch output-size semantics.
+
+    x: (B, T, Cin), w: (K, Cin, Cout) -> (B, (T-1)*stride - 2*padding + K
+    + output_padding, Cout). Implemented as an input-dilated convolution
+    with the kernel flipped along K — one MXU-friendly conv, no scatter.
+    """
+    k = w.shape[0]
+    lo = k - 1 - padding
+    hi = k - 1 - padding + output_padding
+    out = lax.conv_general_dilated(
+        x,
+        jnp.flip(w, axis=0),
+        window_strides=(1,),
+        padding=[(lo, hi)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=x.dtype,
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: IntOrPair = 1,
+    padding: Union[IntOrPair, Sequence[Tuple[int, int]]] = 0,
+    dilation: IntOrPair = 1,
+    groups: int = 1,
+) -> jax.Array:
+    """2-D convolution. x: (B, H, W, Cin), w: (KH, KW, Cin//groups, Cout)."""
+    if isinstance(padding, (tuple, list)) and len(padding) == 2 and isinstance(padding[0], (tuple, list)):
+        pad = [tuple(padding[0]), tuple(padding[1])]
+    else:
+        ph, pw = _pair(padding)
+        pad = [(ph, ph), (pw, pw)]
+    out = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=_pair(stride),
+        padding=pad,
+        rhs_dilation=_pair(dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=x.dtype,
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def conv_transpose2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: IntOrPair = 1,
+    padding: IntOrPair = 0,
+    output_padding: IntOrPair = 0,
+) -> jax.Array:
+    """Transposed 2-D convolution with PyTorch output-size semantics.
+
+    x: (B, H, W, Cin), w: (KH, KW, Cin, Cout).
+    """
+    kh, kw = w.shape[0], w.shape[1]
+    ph, pw = _pair(padding)
+    oh, ow = _pair(output_padding)
+    out = lax.conv_general_dilated(
+        x,
+        jnp.flip(w, axis=(0, 1)),
+        window_strides=(1, 1),
+        padding=[(kh - 1 - ph, kh - 1 - ph + oh), (kw - 1 - pw, kw - 1 - pw + ow)],
+        lhs_dilation=_pair(stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def get_same_padding(kernel_size: int, dilation: int = 1) -> int:
+    """'same' padding for odd kernels: (k*d - d) // 2."""
+    return (kernel_size * dilation - dilation) // 2

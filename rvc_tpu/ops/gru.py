@@ -1,0 +1,92 @@
+"""GRU / BiGRU with exact PyTorch gate semantics, as a `lax.scan`.
+
+Capability parity with the reference's hand-written PyTorch-formula GRU
+(`rvc_mlx/lib/mlx/pytorch_gru.py:47-171`), redesigned for TPU: the input
+projection for ALL timesteps is hoisted out of the recurrence into one
+large (B*T, In) x (In, 3H) MXU matmul; the scan body only performs the
+(B, H) x (H, 3H) recurrent matmul and elementwise gates.
+
+Gate order follows torch.nn.GRU: rows of weight_ih/weight_hh are [r; z; n].
+    r = sigmoid(W_ir x + b_ir + W_hr h + b_hr)
+    z = sigmoid(W_iz x + b_iz + W_hz h + b_hz)
+    n = tanh(W_in x + b_in + r * (W_hn h + b_hn))
+    h' = (1 - z) * n + z * h
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def gru(
+    x: jax.Array,
+    weight_ih: jax.Array,
+    weight_hh: jax.Array,
+    bias_ih: jax.Array | None = None,
+    bias_hh: jax.Array | None = None,
+    h0: jax.Array | None = None,
+    *,
+    reverse: bool = False,
+) -> jax.Array:
+    """Single-layer GRU. x: (B, T, In); weight_ih: (3H, In); weight_hh: (3H, H).
+
+    Returns the full hidden sequence (B, T, H).
+    """
+    B, T, _ = x.shape
+    H = weight_hh.shape[1]
+
+    # Hoist input projection out of the recurrence: one big MXU matmul.
+    xw = jnp.einsum("bti,gi->btg", x, weight_ih)
+    if bias_ih is not None:
+        xw = xw + bias_ih
+
+    if h0 is None:
+        h0 = jnp.zeros((B, H), dtype=x.dtype)
+
+    w_hh_t = weight_hh.T  # (H, 3H)
+
+    def step(h, xw_t):
+        hw = h @ w_hh_t
+        if bias_hh is not None:
+            hw = hw + bias_hh
+        xr, xz, xn = jnp.split(xw_t, 3, axis=-1)
+        hr, hz, hn = jnp.split(hw, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    xs = jnp.swapaxes(xw, 0, 1)  # (T, B, 3H)
+    _, ys = lax.scan(step, h0, xs, reverse=reverse)
+    return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+
+
+def bigru(
+    x: jax.Array,
+    fwd_params: dict,
+    bwd_params: dict,
+) -> jax.Array:
+    """Bidirectional GRU; concatenates forward and backward hidden sequences.
+
+    Each params dict holds weight_ih (3H, In), weight_hh (3H, H) and
+    optionally bias_ih / bias_hh (3H,). Output: (B, T, 2H).
+    """
+    fwd = gru(
+        x,
+        fwd_params["weight_ih"],
+        fwd_params["weight_hh"],
+        fwd_params.get("bias_ih"),
+        fwd_params.get("bias_hh"),
+    )
+    bwd = gru(
+        x,
+        bwd_params["weight_ih"],
+        bwd_params["weight_hh"],
+        bwd_params.get("bias_ih"),
+        bwd_params.get("bias_hh"),
+        reverse=True,
+    )
+    return jnp.concatenate([fwd, bwd], axis=-1)
