@@ -1,0 +1,224 @@
+"""Weight conversion and checkpoint I/O.
+
+Capability parity with the reference's converter suite
+(`tools/convert_rvc_model.py`, `convert_hubert.py`, `convert_rmvpe.py`):
+ingests upstream PyTorch state dicts (both old `weight_g`/`weight_v` and
+new `parametrizations.weight.original0/1` weight-norm naming), fuses the
+norm, transposes conv layouts to this framework's canonical storage, and
+remaps module paths onto our flax param tree. Native checkpoints are
+flat safetensors with '/'-joined keys plus a JSON config sidecar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# tree <-> flat helpers
+# ---------------------------------------------------------------------------
+
+
+def flatten_tree(tree: Mapping, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        path = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, Mapping):
+            out.update(flatten_tree(v, path))
+        else:
+            out[path] = np.asarray(v)
+    return out
+
+
+def unflatten_tree(flat: Mapping[str, np.ndarray]) -> Dict:
+    tree: Dict = {}
+    for path, v in flat.items():
+        parts = path.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# torch state-dict ingestion
+# ---------------------------------------------------------------------------
+
+
+def fuse_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Fold weight-norm (g, v) pairs into plain weights.
+
+    Handles both naming schemes: ``X.weight_g``/``X.weight_v`` and
+    ``X.parametrizations.weight.original0``/``original1``. torch
+    weight_norm uses dim=0: w = g * v / ||v|| over all non-leading dims.
+    """
+    out: Dict[str, np.ndarray] = {}
+    done = set()
+    for k in list(sd.keys()):
+        if k in done:
+            continue
+        m = re.match(r"(.*)\.parametrizations\.weight\.original0$", k)
+        if m is None:
+            m = re.match(r"(.*)\.weight_g$", k)
+            vkey = f"{m.group(1)}.weight_v" if m else None
+        else:
+            vkey = f"{m.group(1)}.parametrizations.weight.original1"
+        if m and vkey in sd:
+            g = np.asarray(sd[k], dtype=np.float32)
+            v = np.asarray(sd[vkey], dtype=np.float32)
+            axes = tuple(range(1, v.ndim))
+            norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
+            out[f"{m.group(1)}.weight"] = g * v / np.maximum(norm, 1e-12)
+            done.update({k, vkey})
+        elif not re.search(r"\.(weight_g|weight_v|parametrizations\.)", k):
+            out[k] = np.asarray(sd[k])
+            done.add(k)
+    return out
+
+
+def _t_conv1d(w):  # torch (Cout, Cin//g, K) -> (K, Cin//g, Cout)
+    return np.transpose(w, (2, 1, 0))
+
+
+def _t_convtr1d(w):  # torch (Cin, Cout, K) -> (K, Cin, Cout)
+    return np.transpose(w, (2, 0, 1))
+
+
+def _t_conv2d(w):  # torch (Cout, Cin//g, KH, KW) -> (KH, KW, Cin//g, Cout)
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _t_convtr2d(w):  # torch (Cin, Cout, KH, KW) -> (KH, KW, Cin, Cout)
+    return np.transpose(w, (2, 3, 0, 1))
+
+
+# Synthesizer translation rules: (regex on the fused torch key, path
+# template with \g<n> backrefs, weight transform or None).
+_SYNTH_RULES = [
+    (r"^enc_p\.emb_phone\.(weight|bias)$", r"enc_p/emb_phone/\1", None),
+    (r"^enc_p\.emb_pitch\.weight$", r"enc_p/emb_pitch/weight", None),
+    (r"^enc_p\.encoder\.attn_layers\.(\d+)\.emb_rel_([kv])$",
+     r"enc_p/encoder/attn_layers_\1/emb_rel_\2", None),
+    (r"^enc_p\.encoder\.attn_layers\.(\d+)\.conv_([qkvo])\.weight$",
+     r"enc_p/encoder/attn_layers_\1/conv_\2/weight", _t_conv1d),
+    (r"^enc_p\.encoder\.attn_layers\.(\d+)\.conv_([qkvo])\.bias$",
+     r"enc_p/encoder/attn_layers_\1/conv_\2/bias", None),
+    (r"^enc_p\.encoder\.norm_layers_([12])\.(\d+)\.gamma$",
+     r"enc_p/encoder/norm_layers_\1_\2/weight", None),
+    (r"^enc_p\.encoder\.norm_layers_([12])\.(\d+)\.beta$",
+     r"enc_p/encoder/norm_layers_\1_\2/bias", None),
+    (r"^enc_p\.encoder\.ffn_layers\.(\d+)\.conv_([12])\.weight$",
+     r"enc_p/encoder/ffn_layers_\1/conv_\2/weight", _t_conv1d),
+    (r"^enc_p\.encoder\.ffn_layers\.(\d+)\.conv_([12])\.bias$",
+     r"enc_p/encoder/ffn_layers_\1/conv_\2/bias", None),
+    (r"^enc_p\.proj\.weight$", r"enc_p/proj/weight", _t_conv1d),
+    (r"^enc_p\.proj\.bias$", r"enc_p/proj/bias", None),
+    # enc_q / flow WaveNets
+    (r"^(enc_q|flow\.flows\.\d+)\.pre\.weight$", None, _t_conv1d),
+    (r"^(enc_q|flow\.flows\.\d+)\.pre\.bias$", None, None),
+    (r"^(enc_q|flow\.flows\.\d+)\.(proj|post)\.weight$", None, _t_conv1d),
+    (r"^(enc_q|flow\.flows\.\d+)\.(proj|post)\.bias$", None, None),
+    (r"^(enc_q|flow\.flows\.\d+)\.enc\.(in_layers|res_skip_layers)\.(\d+)\.weight$", None, _t_conv1d),
+    (r"^(enc_q|flow\.flows\.\d+)\.enc\.(in_layers|res_skip_layers)\.(\d+)\.bias$", None, None),
+    (r"^(enc_q|flow\.flows\.\d+)\.enc\.cond_layer\.weight$", None, _t_conv1d),
+    (r"^(enc_q|flow\.flows\.\d+)\.enc\.cond_layer\.bias$", None, None),
+    # decoder
+    (r"^dec\.conv_(pre|post)\.weight$", r"dec/conv_\1/weight", _t_conv1d),
+    (r"^dec\.conv_(pre|post)\.bias$", r"dec/conv_\1/bias", None),
+    (r"^dec\.cond\.weight$", r"dec/cond/weight", _t_conv1d),
+    (r"^dec\.cond\.bias$", r"dec/cond/bias", None),
+    (r"^dec\.ups\.(\d+)\.weight$", r"dec/ups_\1/weight", _t_convtr1d),
+    (r"^dec\.ups\.(\d+)\.bias$", r"dec/ups_\1/bias", None),
+    (r"^dec\.noise_convs\.(\d+)\.weight$", r"dec/noise_convs_\1/weight", _t_conv1d),
+    (r"^dec\.noise_convs\.(\d+)\.bias$", r"dec/noise_convs_\1/bias", None),
+    (r"^dec\.resblocks\.(\d+)\.convs([12])\.(\d+)\.weight$",
+     r"dec/resblocks_\1/convs\2_\3/weight", _t_conv1d),
+    (r"^dec\.resblocks\.(\d+)\.convs([12])\.(\d+)\.bias$",
+     r"dec/resblocks_\1/convs\2_\3/bias", None),
+    (r"^dec\.m_source\.l_linear\.(weight|bias)$", r"dec/m_source/l_linear/\1", None),
+    (r"^emb_g\.weight$", r"emb_g/weight", None),
+]
+
+
+def convert_synthesizer_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """Fused torch Synthesizer state dict -> our flax param tree.
+
+    The torch flow interleaves Flip modules, so its coupling layers sit at
+    indices 0,2,4,6 — remapped here to our flows_0..flows_3.
+    """
+    sd = fuse_weight_norm({k: np.asarray(v) for k, v in sd.items()})
+    flat: Dict[str, np.ndarray] = {}
+    for key, val in sd.items():
+        path = None
+        transform = None
+        for pat, tmpl, tf in _SYNTH_RULES:
+            m = re.match(pat, key)
+            if m:
+                transform = tf
+                if tmpl is not None:
+                    path = m.expand(tmpl)
+                else:
+                    # enc_q / flow wavenet paths: derive mechanically
+                    p = key
+                    p = re.sub(r"^flow\.flows\.(\d+)\.",
+                               lambda mm: f"flow/flows_{int(mm.group(1)) // 2}/", p)
+                    p = p.replace("enc_q.", "enc_q/")
+                    p = re.sub(r"\.(in_layers|res_skip_layers)\.(\d+)\.", r"/\1_\2/", p)
+                    p = p.replace(".enc/", "/enc/").replace("enc.", "enc/")
+                    p = p.replace(".weight", "/weight").replace(".bias", "/bias")
+                    p = p.replace(".", "/")
+                    path = p
+                break
+        if path is None:
+            continue  # enc_q is dropped in inference-only checkpoints etc.
+        v = np.asarray(val, dtype=np.float32)
+        if transform is not None:
+            v = transform(v)
+        flat[path] = v
+    return unflatten_tree(flat)
+
+
+# ---------------------------------------------------------------------------
+# native checkpoint I/O (safetensors + json sidecar)
+# ---------------------------------------------------------------------------
+
+
+def save_params(params: Mapping, path: str, config: dict | None = None) -> None:
+    from safetensors.numpy import save_file
+
+    flat = {k: np.ascontiguousarray(v) for k, v in flatten_tree(params).items()}
+    save_file(flat, path)
+    if config is not None:
+        with open(os.path.splitext(path)[0] + ".json", "w") as f:
+            json.dump(config, f, indent=2)
+
+
+def load_params(path: str) -> Dict:
+    from safetensors.numpy import load_file
+
+    return unflatten_tree(load_file(path))
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth checkpoint (weights_only) into numpy arrays.
+
+    Accepts both raw state dicts and RVC's {'model': ..., 'config': ...}
+    inference checkpoints (`rvc/train/process/extract_model.py:27`).
+    """
+    import torch
+
+    cpt = torch.load(path, map_location="cpu", weights_only=True)
+    meta = {}
+    if isinstance(cpt, dict) and "model" in cpt:
+        meta = {k: v for k, v in cpt.items() if k != "model"}
+        cpt = cpt["model"]
+    out = {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
+           for k, v in cpt.items()}
+    out["__meta__"] = meta
+    return out
