@@ -1,0 +1,244 @@
+"""RMVPE pitch detector: log-mel -> DeepUnet -> BiGRU -> 360-bin salience.
+
+Capability parity with `rvc/lib/predictors/RMVPE.py` /
+`rvc_mlx/lib/mlx/rmvpe.py`: 5-stage ConvBlockRes encoder (16..256ch,
+BatchNorm momentum=0.01, AvgPool 2x2), 4 intermediate blocks (512ch),
+5-stage ConvTranspose decoder with skip concats, 3-channel head,
+BiGRU(384->256), Linear->360 sigmoid salience, local-average-cents decode
+``f0 = 10 * 2^(cents/1200)`` over a 9-bin window around the argmax.
+
+TPU design: the whole net is one jitted program per padded mel length
+(frames padded to a multiple of 32 with reflect, as the reference does);
+the decode (argmax + windowed weighted average) runs on-device in jnp —
+no host round-trip between mel and f0.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rvc_tpu.models.layers import BatchNorm, Conv2d, ConvTranspose2d, Linear
+from rvc_tpu.ops.gru import gru
+from rvc_tpu.ops.stft import log_mel_spectrogram
+
+N_MELS = 128
+N_CLASS = 360
+
+
+class ConvBlockRes(nn.Module):
+    in_channels: int
+    out_channels: int
+    momentum: float = 0.01
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = Conv2d(self.in_channels, self.out_channels, 3, padding=1,
+                   use_bias=False, name="conv_0")(x)
+        h = BatchNorm(self.out_channels, momentum=self.momentum, name="bn_0")(h)
+        h = jnp.maximum(h, 0.0)
+        h = Conv2d(self.out_channels, self.out_channels, 3, padding=1,
+                   use_bias=False, name="conv_1")(h)
+        h = BatchNorm(self.out_channels, momentum=self.momentum, name="bn_1")(h)
+        h = jnp.maximum(h, 0.0)
+        if self.in_channels != self.out_channels:
+            x = Conv2d(self.in_channels, self.out_channels, 1, name="shortcut")(x)
+        return h + x
+
+
+class ResEncoderBlock(nn.Module):
+    in_channels: int
+    out_channels: int
+    n_blocks: int = 1
+    pool: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        x = ConvBlockRes(self.in_channels, self.out_channels, name="blocks_0")(x)
+        for i in range(1, self.n_blocks):
+            x = ConvBlockRes(self.out_channels, self.out_channels, name=f"blocks_{i}")(x)
+        if self.pool:
+            pooled = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            return x, pooled
+        return x
+
+
+class ResDecoderBlock(nn.Module):
+    in_channels: int
+    out_channels: int
+    n_blocks: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip: jax.Array) -> jax.Array:
+        x = ConvTranspose2d(self.in_channels, self.out_channels, 3, stride=(2, 2),
+                            padding=1, output_padding=1, use_bias=False,
+                            name="conv1")(x)
+        x = BatchNorm(self.out_channels, momentum=0.01, name="bn1")(x)
+        x = jnp.maximum(x, 0.0)
+        # crop/pad to the skip's spatial shape before concat
+        th, tw = skip.shape[1], skip.shape[2]
+        if x.shape[1] != th or x.shape[2] != tw:
+            ph = max(0, th - x.shape[1])
+            pw = max(0, tw - x.shape[2])
+            if ph or pw:
+                x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            x = x[:, :th, :tw, :]
+        x = jnp.concatenate([x, skip], axis=-1)
+        x = ConvBlockRes(self.out_channels * 2, self.out_channels, name="blocks_0")(x)
+        for i in range(1, self.n_blocks):
+            x = ConvBlockRes(self.out_channels, self.out_channels, name=f"blocks_{i}")(x)
+        return x
+
+
+class DeepUnet(nn.Module):
+    n_blocks: int = 4
+    en_de_layers: int = 5
+    inter_layers: int = 4
+    in_channels: int = 1
+    en_out_channels: int = 16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: (B, T, 128, 1)
+        x = BatchNorm(self.in_channels, momentum=0.01, name="encoder_bn")(x)
+        skips = []
+        cin, cout = self.in_channels, self.en_out_channels
+        for i in range(self.en_de_layers):
+            skip, x = ResEncoderBlock(cin, cout, self.n_blocks,
+                                      name=f"encoder_layers_{i}")(x)
+            skips.append(skip)
+            cin, cout = cout, cout * 2
+
+        inter_out = cin * 2
+        x = ResEncoderBlock(cin, inter_out, self.n_blocks, pool=False,
+                            name="intermediate_layers_0")(x)
+        for i in range(1, self.inter_layers):
+            x = ResEncoderBlock(inter_out, inter_out, self.n_blocks, pool=False,
+                                name=f"intermediate_layers_{i}")(x)
+
+        cin = inter_out
+        for i in range(self.en_de_layers):
+            cout = cin // 2
+            x = ResDecoderBlock(cin, cout, self.n_blocks,
+                                name=f"decoder_layers_{i}")(x, skips[-1 - i])
+            cin = cout
+        return x
+
+
+class E2E(nn.Module):
+    """DeepUnet -> 3ch conv -> BiGRU -> 360 sigmoid salience.
+
+    Input mel: (B, T, 128); output salience: (B, T, 360).
+    """
+
+    n_blocks: int = 4
+    n_gru: int = 1
+    en_de_layers: int = 5
+    inter_layers: int = 4
+    en_out_channels: int = 16
+    gru_hidden: int = 256
+
+    @nn.compact
+    def __call__(self, mel: jax.Array) -> jax.Array:
+        x = mel[:, :, :, None]  # (B, T, M, 1)
+        x = DeepUnet(self.n_blocks, self.en_de_layers, self.inter_layers,
+                     1, self.en_out_channels, name="unet")(x)
+        x = Conv2d(self.en_out_channels, 3, 3, padding=1, name="cnn")(x)
+        B, T, M, C = x.shape
+        # torch flattens (B, T, C, M) -> (B, T, C*M); match that order
+        x = x.transpose(0, 1, 3, 2).reshape(B, T, C * M)
+        if self.n_gru:
+            fwd = {
+                "weight_ih": self.param("gru_fwd_weight_ih", nn.initializers.normal(0.02), (3 * self.gru_hidden, 3 * M)),
+                "weight_hh": self.param("gru_fwd_weight_hh", nn.initializers.normal(0.02), (3 * self.gru_hidden, self.gru_hidden)),
+                "bias_ih": self.param("gru_fwd_bias_ih", nn.initializers.zeros, (3 * self.gru_hidden,)),
+                "bias_hh": self.param("gru_fwd_bias_hh", nn.initializers.zeros, (3 * self.gru_hidden,)),
+            }
+            bwd = {
+                "weight_ih": self.param("gru_bwd_weight_ih", nn.initializers.normal(0.02), (3 * self.gru_hidden, 3 * M)),
+                "weight_hh": self.param("gru_bwd_weight_hh", nn.initializers.normal(0.02), (3 * self.gru_hidden, self.gru_hidden)),
+                "bias_ih": self.param("gru_bwd_bias_ih", nn.initializers.zeros, (3 * self.gru_hidden,)),
+                "bias_hh": self.param("gru_bwd_bias_hh", nn.initializers.zeros, (3 * self.gru_hidden,)),
+            }
+            f = gru(x, fwd["weight_ih"], fwd["weight_hh"], fwd["bias_ih"], fwd["bias_hh"])
+            b = gru(x, bwd["weight_ih"], bwd["weight_hh"], bwd["bias_ih"], bwd["bias_hh"], reverse=True)
+            x = jnp.concatenate([f, b], axis=-1)
+            x = Linear(2 * self.gru_hidden, N_CLASS, name="fc")(x)
+        else:
+            x = Linear(3 * M, N_CLASS, name="fc")(x)
+        return jax.nn.sigmoid(x)
+
+
+# ---------------------------------------------------------------------------
+# decoding: salience -> f0 (on-device)
+# ---------------------------------------------------------------------------
+
+CENTS_MAPPING = (20.0 * np.arange(N_CLASS) + 1997.3794084376191).astype(np.float32)
+
+
+def decode_salience(hidden: jax.Array, thred: float = 0.03) -> jax.Array:
+    """(B, T, 360) salience -> (B, T) f0 in Hz (0 = unvoiced).
+
+    Local weighted average of cents over a 9-bin window centered on the
+    argmax, thresholded on max salience (reference `rmvpe.py:357-406`).
+    """
+    B, T, _ = hidden.shape
+    center = jnp.argmax(hidden, axis=-1)  # (B, T)
+    padded = jnp.pad(hidden, ((0, 0), (0, 0), (4, 4)))
+    cents_pad = jnp.pad(jnp.asarray(CENTS_MAPPING), (4, 4))
+
+    offs = jnp.arange(9)
+    idx = center[:, :, None] + offs[None, None, :]  # window into padded bins
+    sal = jnp.take_along_axis(padded, idx, axis=-1)           # (B, T, 9)
+    cents_w = cents_pad[idx]                                   # (B, T, 9)
+
+    wsum = jnp.sum(sal, axis=-1)
+    cents = jnp.where(wsum > 0, jnp.sum(sal * cents_w, axis=-1) / jnp.maximum(wsum, 1e-12), 0.0)
+    maxx = jnp.max(hidden, axis=-1)
+    cents = jnp.where(maxx > thred, cents, 0.0)
+    f0 = 10.0 * (2.0 ** (cents / 1200.0))
+    return jnp.where(cents > 0, f0, 0.0)
+
+
+class RMVPE:
+    """End-to-end RMVPE predictor: audio -> f0, jit-compiled per mel-length
+    bucket. Mirrors `RMVPE0Predictor.infer_from_audio`."""
+
+    def __init__(self, params=None, batch_stats=None, seed: int = 0):
+        self.model = E2E()
+        if params is None:
+            mel = jnp.zeros((1, 32, N_MELS))
+            variables = self.model.init(jax.random.PRNGKey(seed), mel)
+            params = variables["params"]
+            batch_stats = variables.get("batch_stats", {})
+        self.variables = {"params": params, "batch_stats": batch_stats or {}}
+        self._jit_forward = jax.jit(
+            lambda v, mel: self.model.apply(v, mel)
+        )
+
+    def mel(self, audio: jax.Array) -> jax.Array:
+        """(B, T_samples) 16 kHz -> (B, T_frames, 128) log-mel (htk, 30..8000)."""
+        return log_mel_spectrogram(audio, 1024, N_MELS, 16000, 160, 1024,
+                                   fmin=30, fmax=8000, htk=True)
+
+    def mel2hidden(self, mel: jax.Array) -> jax.Array:
+        n_frames = mel.shape[1]
+        pad = 32 * ((n_frames - 1) // 32 + 1) - n_frames
+        if pad > 0:
+            mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)), mode="reflect")
+        hidden = self._jit_forward(self.variables, mel)
+        return hidden[:, :n_frames]
+
+    def infer_from_audio(self, audio, thred: float = 0.03):
+        """audio: (T,) or (B, T) numpy/jax @16 kHz -> f0 per frame (hop 160)."""
+        audio = jnp.asarray(audio)
+        squeeze = audio.ndim == 1
+        if squeeze:
+            audio = audio[None]
+        hidden = self.mel2hidden(self.mel(audio))
+        f0 = decode_salience(hidden, thred)
+        return np.asarray(f0[0] if squeeze else f0)

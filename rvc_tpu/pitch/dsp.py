@@ -1,0 +1,203 @@
+"""DSP pitch extractors (WORLD dio/harvest/pm capability without the C++ dep).
+
+The reference delegates dio/harvest/pm to the pyworld C++ library
+(`rvc_mlx/lib/mlx/pyworld_pitch.py:27`). This module provides native
+vectorized equivalents:
+
+  * ``yin_f0``       -- YIN cumulative-mean-normalized difference with
+                        parabolic interpolation ("pm"-class accuracy)
+  * ``autocorr_f0``  -- FFT autocorrelation peak picking with median
+                        smoothing ("dio"-class)
+  * ``harvest_like_f0`` -- autocorrelation with finer search + stronger
+                        temporal smoothing ("harvest"-class)
+
+All operate on float32 numpy at 16 kHz, hop-aligned with the neural
+extractors (hop 160 -> 100 Hz frame rate). If pyworld is importable the
+facade prefers it for exact WORLD semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _frame(audio: np.ndarray, frame_length: int, hop: int) -> np.ndarray:
+    pad = frame_length // 2
+    a = np.pad(audio, (pad, pad), mode="reflect")
+    n = 1 + (len(a) - frame_length) // hop
+    idx = np.arange(frame_length)[None, :] + hop * np.arange(n)[:, None]
+    return a[idx]
+
+
+def yin_f0(
+    audio: np.ndarray,
+    sample_rate: int = 16000,
+    hop: int = 160,
+    f0_min: float = 50.0,
+    f0_max: float = 1100.0,
+    threshold: float = 0.15,
+    frame_length: int = 1024,
+) -> np.ndarray:
+    """YIN: cumulative mean normalized difference function, absolute
+    threshold, parabolic interpolation. Returns per-frame f0 (0=unvoiced)."""
+    audio = np.asarray(audio, dtype=np.float64)
+    frames = _frame(audio, frame_length, hop)  # (T, W)
+    tau_max = min(int(sample_rate / f0_min) + 2, frame_length - 2)
+    tau_min = max(int(sample_rate / f0_max), 2)
+
+    # difference function via FFT autocorrelation:
+    # d(tau) = E1(tau) + E2(tau) - 2*acf(tau) with
+    #   E1(tau) = sum_{j<W-tau} x[j]^2,  E2(tau) = sum_{j>=tau} x[j]^2
+    W = frame_length
+    nfft = 2 * W
+    fft = np.fft.rfft(frames, nfft, axis=1)
+    acf = np.fft.irfft(fft * np.conj(fft), nfft, axis=1)[:, :tau_max + 1]
+    energy = np.cumsum(frames ** 2, axis=1)
+    r0 = energy[:, -1][:, None]
+    taus = np.arange(tau_max + 1)
+    e1 = energy[:, W - 1 - taus]
+    e2 = r0 - np.concatenate(
+        [np.zeros((frames.shape[0], 1)), energy[:, :tau_max]], axis=1)
+    d = e1 + e2 - 2.0 * acf  # (T, tau_max+1)
+    d = np.maximum(d, 0.0)
+
+    # cumulative mean normalized difference
+    tau = np.arange(1, tau_max + 1)
+    csum = np.cumsum(d[:, 1:], axis=1)
+    cmnd = np.ones((frames.shape[0], tau_max + 1))
+    cmnd[:, 1:] = d[:, 1:] * tau[None, :] / np.maximum(csum, 1e-12)
+
+    # YIN selection: first tau whose cmnd dips under the threshold, then
+    # walk to the local minimum of that below-threshold run
+    region = cmnd[:, tau_min:tau_max]
+    n = region.shape[1]
+    under = region < threshold
+    first = np.argmax(under, axis=1)
+    has_under = under.any(axis=1)
+    cols = np.arange(n)[None, :]
+    after = cols >= first[:, None]
+    exit_mask = (~under) & after
+    run_end = np.where(exit_mask.any(axis=1), np.argmax(exit_mask, axis=1), n)
+    in_run = after & (cols < run_end[:, None])
+    best_in_run = np.argmin(np.where(in_run, region, np.inf), axis=1)
+    best = np.where(has_under, best_in_run, np.argmin(region, axis=1)) + tau_min
+
+    # parabolic interpolation around best tau
+    t = np.arange(frames.shape[0])
+    b0 = cmnd[t, np.maximum(best - 1, 1)]
+    b1 = cmnd[t, best]
+    b2 = cmnd[t, np.minimum(best + 1, tau_max)]
+    denom = b0 + b2 - 2 * b1
+    shift = np.where(np.abs(denom) > 1e-12, 0.5 * (b0 - b2) / np.maximum(np.abs(denom), 1e-12) * np.sign(denom), 0.0)
+    shift = np.clip(shift, -0.5, 0.5)
+    period = best + shift
+
+    f0 = sample_rate / np.maximum(period, 1e-6)
+    voiced = has_under & (f0 >= f0_min) & (f0 <= f0_max)
+    # also gate on frame energy
+    rms = np.sqrt(np.mean(frames ** 2, axis=1))
+    voiced &= rms > (0.01 * max(np.sqrt(np.mean(audio ** 2)), 1e-8))
+    return np.where(voiced, f0, 0.0).astype(np.float32)
+
+
+def autocorr_f0(
+    audio: np.ndarray,
+    sample_rate: int = 16000,
+    hop: int = 160,
+    f0_min: float = 50.0,
+    f0_max: float = 1100.0,
+    frame_length: int = 1024,
+    clarity_threshold: float = 0.45,
+    median: int = 3,
+) -> np.ndarray:
+    """Normalized autocorrelation peak-picking ("dio"-class)."""
+    audio = np.asarray(audio, dtype=np.float64)
+    frames = _frame(audio, frame_length, hop)
+    frames = frames - frames.mean(axis=1, keepdims=True)
+    win = np.hanning(frame_length)
+    fw = frames * win[None, :]
+    nfft = 2 * frame_length
+    fft = np.fft.rfft(fw, nfft, axis=1)
+    acf = np.fft.irfft(fft * np.conj(fft), nfft, axis=1)
+    tau_max = min(int(sample_rate / f0_min) + 2, frame_length - 2)
+    tau_min = max(int(sample_rate / f0_max), 2)
+    norm = np.maximum(acf[:, :1], 1e-12)
+    r = acf[:, : tau_max + 1] / norm
+
+    region = r[:, tau_min:tau_max]
+    best = np.argmax(region, axis=1) + tau_min
+    t = np.arange(frames.shape[0])
+    clarity = r[t, best]
+
+    # parabolic interpolation
+    b0 = r[t, best - 1]
+    b1 = r[t, best]
+    b2 = r[t, best + 1]
+    denom = b0 + b2 - 2 * b1
+    shift = np.where(np.abs(denom) > 1e-12, 0.5 * (b0 - b2) / np.where(np.abs(denom) > 1e-12, denom, 1.0), 0.0)
+    period = best - np.clip(shift, -0.5, 0.5)
+
+    f0 = sample_rate / np.maximum(period, 1e-6)
+    voiced = (clarity > clarity_threshold) & (f0 >= f0_min) & (f0 <= f0_max)
+    f0 = np.where(voiced, f0, 0.0)
+    if median > 1:
+        from scipy.ndimage import median_filter
+        f0 = np.where(f0 > 0, median_filter(f0, size=median), 0.0)
+    return f0.astype(np.float32)
+
+
+def harvest_like_f0(
+    audio: np.ndarray,
+    sample_rate: int = 16000,
+    hop: int = 160,
+    f0_min: float = 50.0,
+    f0_max: float = 1100.0,
+) -> np.ndarray:
+    """"harvest"-class: longer analysis window, stronger smoothing, octave
+    error correction by path continuity."""
+    f0 = autocorr_f0(audio, sample_rate, hop, f0_min, f0_max,
+                     frame_length=2048, clarity_threshold=0.35, median=5)
+    # fix isolated octave jumps against the local median
+    v = f0 > 0
+    if v.sum() > 4:
+        from scipy.ndimage import median_filter
+        med = median_filter(np.where(v, f0, np.nan), size=9, mode="nearest")
+        med = np.where(np.isnan(med), f0, med)
+        for mult in (2.0, 0.5):
+            jump = v & (med > 0) & (np.abs(f0 * mult - med) < 0.12 * med)
+            f0 = np.where(jump, f0 * mult, f0)
+    return f0.astype(np.float32)
+
+
+def stonemask_refine(
+    audio: np.ndarray,
+    f0: np.ndarray,
+    sample_rate: int = 16000,
+    hop: int = 160,
+) -> np.ndarray:
+    """StoneMask-style refinement: re-estimate each voiced frame's f0 from
+    the instantaneous frequency of the harmonic nearest the coarse f0."""
+    audio = np.asarray(audio, dtype=np.float64)
+    frame_length = 1024
+    frames = _frame(audio, frame_length, hop)[: len(f0)]
+    win = np.hanning(frame_length)
+    spec = np.fft.rfft(frames * win[None, :], axis=1)
+    freqs = np.fft.rfftfreq(frame_length, 1.0 / sample_rate)
+    mag = np.abs(spec)
+    out = f0.astype(np.float64).copy()
+    voiced = f0 > 0
+    if not voiced.any():
+        return f0
+    # refine by parabolic peak of |X| around the bin closest to f0
+    bins = np.clip(np.round(f0 / (sample_rate / frame_length)).astype(int), 1,
+                   mag.shape[1] - 2)
+    t = np.arange(len(f0))
+    a = np.log(np.maximum(mag[t, bins - 1], 1e-12))
+    b = np.log(np.maximum(mag[t, bins], 1e-12))
+    c = np.log(np.maximum(mag[t, bins + 1], 1e-12))
+    denom = a + c - 2 * b
+    delta = np.where(np.abs(denom) > 1e-9, 0.5 * (a - c) / np.where(np.abs(denom) > 1e-9, denom, 1.0), 0.0)
+    refined = (bins + np.clip(delta, -0.5, 0.5)) * (sample_rate / frame_length)
+    ok = voiced & (np.abs(refined - f0) < 0.2 * np.maximum(f0, 1.0))
+    out[ok] = refined[ok]
+    return out.astype(np.float32)

@@ -72,7 +72,10 @@ def fuse_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         if m and vkey in sd:
             g = np.asarray(sd[k], dtype=np.float32)
             v = np.asarray(sd[vkey], dtype=np.float32)
-            axes = tuple(range(1, v.ndim))
+            # weight_norm dim is implied by g's broadcast shape: norm over
+            # every axis g collapses (dim=0 convs -> (C,1,1); HF pos_conv
+            # uses dim=2 -> (1,1,K)).
+            axes = tuple(i for i, s in enumerate(g.shape) if s == 1) or tuple(range(1, v.ndim))
             norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
             out[f"{m.group(1)}.weight"] = g * v / np.maximum(norm, 1e-12)
             done.update({k, vkey})
@@ -182,6 +185,130 @@ def convert_synthesizer_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
             v = transform(v)
         flat[path] = v
     return unflatten_tree(flat)
+
+
+# HuBERT translation (HF transformers state dict -> our flax tree).
+_HUBERT_RULES = [
+    (r"^(?:hubert\.)?feature_extractor\.conv_layers\.(\d+)\.conv\.weight$",
+     r"feature_extractor/conv_layers_\1/weight", _t_conv1d),
+    (r"^(?:hubert\.)?feature_extractor\.conv_layers\.0\.layer_norm\.weight$",
+     r"feature_extractor/gn_weight", None),
+    (r"^(?:hubert\.)?feature_extractor\.conv_layers\.0\.layer_norm\.bias$",
+     r"feature_extractor/gn_bias", None),
+    (r"^(?:hubert\.)?feature_projection\.layer_norm\.(weight|bias)$",
+     r"fp_layer_norm/\1", None),
+    (r"^(?:hubert\.)?feature_projection\.projection\.(weight|bias)$",
+     r"fp_projection/\1", None),
+    (r"^(?:hubert\.)?encoder\.pos_conv_embed\.conv\.weight$",
+     r"pos_conv_embed/conv/weight", _t_conv1d),
+    (r"^(?:hubert\.)?encoder\.pos_conv_embed\.conv\.bias$",
+     r"pos_conv_embed/conv/bias", None),
+    (r"^(?:hubert\.)?encoder\.layer_norm\.(weight|bias)$",
+     r"encoder_layer_norm/\1", None),
+    (r"^(?:hubert\.)?encoder\.layers\.(\d+)\.attention\.([qkv]|out)_proj\.(weight|bias)$",
+     r"layers_\1/attention/\2_proj/\3", None),
+    (r"^(?:hubert\.)?encoder\.layers\.(\d+)\.layer_norm\.(weight|bias)$",
+     r"layers_\1/layer_norm/\2", None),
+    (r"^(?:hubert\.)?encoder\.layers\.(\d+)\.feed_forward\.(intermediate_dense|output_dense)\.(weight|bias)$",
+     r"layers_\1/\2/\3", None),
+    (r"^(?:hubert\.)?encoder\.layers\.(\d+)\.final_layer_norm\.(weight|bias)$",
+     r"layers_\1/final_layer_norm/\2", None),
+    (r"^final_proj\.(weight|bias)$", r"final_proj/\1", None),
+]
+
+
+def convert_hubert_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """HF HubertModel (or ContentVec 'HubertModelWithFinalProj') state dict
+    -> our flax param tree."""
+    sd = fuse_weight_norm({k: np.asarray(v) for k, v in sd.items()})
+    flat: Dict[str, np.ndarray] = {}
+    for key, val in sd.items():
+        for pat, tmpl, tf in _HUBERT_RULES:
+            m = re.match(pat, key)
+            if m:
+                v = np.asarray(val, dtype=np.float32)
+                if tf is not None:
+                    v = tf(v)
+                flat[m.expand(tmpl)] = v
+                break
+    return unflatten_tree(flat)
+
+
+def convert_rmvpe_state_dict(sd: Dict[str, np.ndarray]):
+    """Torch RMVPE E2E state dict -> (params, batch_stats) flax trees.
+
+    Torch structure (`rvc/lib/predictors/RMVPE.py`): ConvBlockRes.conv is
+    Sequential(conv0, bn1, relu, conv3, bn4, relu) + optional shortcut;
+    encoder/intermediate nest blocks under ``conv.{j}``, the decoder under
+    ``conv2.{j}`` with ``conv1.{0,1}`` being the transposed conv + bn.
+    """
+    params: Dict[str, np.ndarray] = {}
+    stats: Dict[str, np.ndarray] = {}
+
+    def put(path: str, key: str, v: np.ndarray, transform=None):
+        v = np.asarray(v, dtype=np.float32)
+        if transform is not None:
+            v = transform(v)
+        if key in ("running_mean", "running_var"):
+            stats[f"{path}/{key}"] = v
+        else:
+            params[f"{path}/{key}"] = v
+
+    def block_path(rest: str, base: str):
+        """Translate 'conv.{j}.conv.{idx}.{leaf}' / 'conv.{j}.shortcut.{leaf}'."""
+        m = re.match(r"conv2?\.(\d+)\.conv\.(\d+)\.(.+)$", rest)
+        if m:
+            j, idx, leaf = int(m.group(1)), int(m.group(2)), m.group(3)
+            sub = {0: ("conv_0", _t_conv2d), 1: ("bn_0", None),
+                   3: ("conv_1", _t_conv2d), 4: ("bn_1", None)}[idx]
+            tf = sub[1] if leaf == "weight" else None
+            return f"{base}/blocks_{j}/{sub[0]}", leaf, tf
+        m = re.match(r"conv2?\.(\d+)\.shortcut\.(.+)$", rest)
+        if m:
+            j, leaf = int(m.group(1)), m.group(2)
+            return f"{base}/blocks_{j}/shortcut", leaf, (_t_conv2d if leaf == "weight" else None)
+        return None
+
+    for key, val in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        m = re.match(r"^unet\.encoder\.bn\.(.+)$", key)
+        if m:
+            put("unet/encoder_bn", m.group(1), val)
+            continue
+        m = re.match(r"^unet\.(encoder|intermediate|decoder)\.layers\.(\d+)\.(.+)$", key)
+        if m:
+            section, i, rest = m.group(1), int(m.group(2)), m.group(3)
+            base = f"unet/{section}_layers_{i}"
+            if section == "decoder":
+                mm = re.match(r"conv1\.0\.(.+)$", rest)
+                if mm:
+                    put(f"{base}/conv1", mm.group(1), val,
+                        _t_convtr2d if mm.group(1) == "weight" else None)
+                    continue
+                mm = re.match(r"conv1\.1\.(.+)$", rest)
+                if mm:
+                    put(f"{base}/bn1", mm.group(1), val)
+                    continue
+            got = block_path(rest, base)
+            if got:
+                path, leaf, tf = got
+                put(path, leaf, val, tf)
+            continue
+        m = re.match(r"^cnn\.(weight|bias)$", key)
+        if m:
+            put("cnn", m.group(1), val, _t_conv2d if m.group(1) == "weight" else None)
+            continue
+        m = re.match(r"^fc\.\d+\.gru\.(weight|bias)_(ih|hh)_l0(_reverse)?$", key)
+        if m:
+            d = "bwd" if m.group(3) else "fwd"
+            params[f"gru_{d}_{m.group(1)}_{m.group(2)}"] = np.asarray(val, np.float32)
+            continue
+        m = re.match(r"^fc\.\d+\.(weight|bias)$", key)
+        if m:
+            put("fc", m.group(1), val)
+            continue
+    return unflatten_tree(params), unflatten_tree(stats)
 
 
 # ---------------------------------------------------------------------------
