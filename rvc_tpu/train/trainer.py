@@ -1,0 +1,178 @@
+"""High-level trainer loop.
+
+Capability parity with `RVCTrainer` (`rvc_mlx/train/trainer.py:193-732`)
+and the torch loop (`rvc/train/train.py:608-1023`): epoch loop over the
+bucketed loader, warmup (non-adversarial) epochs, pretrained G/D loading,
+checkpoint save/resume (params + optimizer state + epoch/step/best
+history), overtraining-detector stop, best-model tracking, JSONL metric
+logging, and the final inference-weights export (enc_q stripped, config
+sidecar — the `extract_model` equivalent).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from rvc_tpu.configs import RVCConfig, config_to_dict
+from rvc_tpu.train.data import DataLoader
+from rvc_tpu.train.overtraining import OvertrainingDetector
+from rvc_tpu.train.train_step import TrainState, create_train_state, make_train_step
+from rvc_tpu.utils import weights as W
+
+
+class RVCTrainer:
+    def __init__(
+        self,
+        cfg: RVCConfig,
+        train_loader: DataLoader,
+        val_loader: Optional[DataLoader] = None,
+        checkpoint_dir: str = "checkpoints",
+        seed: int = 1234,
+        use_overtraining_detector: bool = False,
+        overtraining_threshold: int = 50,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.checkpoint_dir = checkpoint_dir
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        self.mesh = mesh
+
+        steps_per_epoch = max(len(train_loader), 1)
+        self.state, self.net_g, self.net_d = create_train_state(
+            cfg, jax.random.PRNGKey(seed), steps_per_epoch)
+        self._steps_per_epoch = steps_per_epoch
+        self._step_fns = {}
+        self.detector = (OvertrainingDetector(threshold=overtraining_threshold)
+                         if use_overtraining_detector else None)
+        self.epoch = 0
+        self.best_loss = float("inf")
+        self._rng = jax.random.PRNGKey(seed + 1)
+        self._log_path = os.path.join(checkpoint_dir, "train_log.jsonl")
+
+    # ------------------------------------------------------------------
+    def _get_step_fn(self, adversarial: bool):
+        if adversarial not in self._step_fns:
+            if self.mesh is not None:
+                from rvc_tpu.parallel.train import make_sharded_train_step
+
+                self._step_fns[adversarial] = make_sharded_train_step(
+                    self.cfg, self.net_g, self.net_d, self.mesh,
+                    self._steps_per_epoch, adversarial)
+            else:
+                self._step_fns[adversarial] = make_train_step(
+                    self.cfg, self.net_g, self.net_d,
+                    self._steps_per_epoch, adversarial)
+        return self._step_fns[adversarial]
+
+    # ------------------------------------------------------------------
+    def load_pretrained(self, g_path: Optional[str] = None,
+                        d_path: Optional[str] = None) -> None:
+        """Load pretrained G/D from torch .pth or native safetensors,
+        merging over the initialized trees (missing keys keep init)."""
+
+        def merge(dst, src):
+            for k, v in src.items():
+                if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                    merge(dst[k], v)
+                elif k in dst and hasattr(dst[k], "shape") and tuple(dst[k].shape) == tuple(np.shape(v)):
+                    dst[k] = jax.numpy.asarray(v)
+            return dst
+
+        if g_path and os.path.exists(g_path):
+            if g_path.endswith(".safetensors"):
+                tree = W.load_params(g_path)
+            else:
+                sd = W.load_torch_checkpoint(g_path)
+                sd.pop("__meta__", None)
+                tree = W.convert_synthesizer_state_dict(sd)
+            g_params = jax.tree.map(lambda x: x, self.state.g_params)  # copy
+            g_params = merge(jax.device_get(g_params), tree)
+            self.state = self.state._replace(g_params=g_params)
+        if d_path and os.path.exists(d_path):
+            if d_path.endswith(".safetensors"):
+                tree = W.load_params(d_path)
+                d_params = merge(jax.device_get(self.state.d_params), tree)
+                self.state = self.state._replace(d_params=d_params)
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, name: Optional[str] = None) -> str:
+        name = name or f"epoch_{self.epoch:04d}"
+        gp = os.path.join(self.checkpoint_dir, f"{name}_G.safetensors")
+        dp = os.path.join(self.checkpoint_dir, f"{name}_D.safetensors")
+        W.save_params(jax.device_get(self.state.g_params), gp)
+        W.save_params(jax.device_get(self.state.d_params), dp)
+        meta = dict(epoch=self.epoch, step=int(self.state.step),
+                    best_loss=self.best_loss,
+                    config=config_to_dict(self.cfg))
+        with open(os.path.join(self.checkpoint_dir, f"{name}_state.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        return gp
+
+    def resume(self, name: str) -> None:
+        gp = os.path.join(self.checkpoint_dir, f"{name}_G.safetensors")
+        dp = os.path.join(self.checkpoint_dir, f"{name}_D.safetensors")
+        sp = os.path.join(self.checkpoint_dir, f"{name}_state.json")
+        self.load_pretrained(gp, dp)
+        if os.path.exists(sp):
+            with open(sp) as f:
+                meta = json.load(f)
+            self.epoch = meta.get("epoch", 0)
+            self.best_loss = meta.get("best_loss", float("inf"))
+
+    def export_inference_model(self, path: str) -> str:
+        """Final inference weights: enc_q stripped, config sidecar
+        (`rvc/train/process/extract_model.py:27-100`)."""
+        params = jax.device_get(self.state.g_params)
+        params = {k: v for k, v in params.items() if k != "enc_q"}
+        W.save_params(params, path, config=config_to_dict(self.cfg))
+        return path
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, adversarial: bool = True) -> dict:
+        step_fn = self._get_step_fn(adversarial)
+        self.train_loader.set_epoch(self.epoch)
+        agg = {}
+        n = 0
+        for batch in self.train_loader:
+            self._rng, sub = jax.random.split(self._rng)
+            self.state, metrics = step_fn(self.state, batch, sub)
+            n += 1
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+        return {k: v / max(n, 1) for k, v in agg.items()} | {"batches": n}
+
+    def train(self, epochs: int, save_every: int = 10,
+              warmup_epochs: Optional[int] = None) -> dict:
+        warmup = self.cfg.train.warmup_epochs if warmup_epochs is None else warmup_epochs
+        history = []
+        for _ in range(epochs):
+            t0 = time.time()
+            adversarial = self.epoch >= warmup
+            metrics = self.train_epoch(adversarial)
+            metrics |= {"epoch": self.epoch, "adversarial": adversarial,
+                        "seconds": round(time.time() - t0, 2)}
+            history.append(metrics)
+            with open(self._log_path, "a") as f:
+                f.write(json.dumps(metrics) + "\n")
+
+            g_total = metrics.get("loss_g_total", float("inf"))
+            if g_total < self.best_loss:
+                self.best_loss = g_total
+                self.save_checkpoint("best")
+            if self.detector is not None and self.detector.update(self.epoch, g_total):
+                self.save_checkpoint()
+                break
+            self.epoch += 1
+            if self.epoch % save_every == 0:
+                self.save_checkpoint()
+        self.save_checkpoint("last")
+        return {"epochs_run": len(history), "history": history,
+                "best_loss": self.best_loss}
