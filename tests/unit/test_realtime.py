@@ -1,0 +1,71 @@
+"""Realtime engine: circular buffers, VAD, SOLA continuity, FX chain."""
+
+import numpy as np
+import pytest
+
+from rvc_tpu.realtime.buffer import circular_write
+from rvc_tpu.realtime.vad import VADProcessor
+from rvc_tpu.realtime.fx import build_fx_chain
+
+
+def test_circular_write():
+    buf = np.zeros(10, dtype=np.float32)
+    circular_write(np.arange(1, 4, dtype=np.float32), buf)
+    np.testing.assert_array_equal(buf[-3:], [1, 2, 3])
+    circular_write(np.arange(4, 7, dtype=np.float32), buf)
+    np.testing.assert_array_equal(buf[-6:], [1, 2, 3, 4, 5, 6])
+    # oversized write keeps the tail
+    circular_write(np.arange(100, dtype=np.float32), buf)
+    np.testing.assert_array_equal(buf, np.arange(90, 100))
+
+
+def test_vad_energy(sine_wave):
+    y, sr = sine_wave
+    vad = VADProcessor(sensitivity_mode=3, sample_rate=sr)
+    # feed silence first so the noise floor adapts
+    for _ in range(5):
+        assert not vad.is_speech(np.zeros(480, dtype=np.float32) + 1e-5)
+    assert vad.is_speech(y[:4800])
+
+
+def test_fx_chain_runs(sine_wave):
+    y, sr = sine_wave
+    chain = build_fx_chain(reverb=True, limiter=True, gain=True, gain_db=-3,
+                           distortion=True, chorus=True, bitcrush=True,
+                           clipping=True, compressor=True, compressor_ratio=4,
+                           delay=True, delay_seconds=0.05)
+    out = chain(y[:8000], sr)
+    assert out.shape == (8000,)
+    assert np.isfinite(out).all()
+
+
+def test_fx_gain_math():
+    chain = build_fx_chain(gain=True, gain_db=-6.0)
+    x = np.ones(100, dtype=np.float32)
+    out = chain(x, 16000)
+    np.testing.assert_allclose(out, 10 ** (-6 / 20), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_voice_changer_stream(sine_wave):
+    """Stream a sine through the full realtime stack (random weights):
+    output blocks keep size; engine stays finite; SOLA state advances."""
+    from rvc_tpu.api import RVC
+    from rvc_tpu.configs import get_config
+    from rvc_tpu.realtime.core import VoiceChanger, AUDIO_SAMPLE_RATE
+
+    cfg = get_config(32000, model_spk_embed_dim=2, model_n_layers=1,
+                     model_upsample_initial_channel=64)
+    rvc = RVC(config=cfg, seed=0)
+    vc = VoiceChanger(rvc, read_chunk_size=48, cross_fade_overlap_size=0.05,
+                      extra_convert_size=0.2, f0_method="pm")
+    block = vc.block_frame  # 48*128 = 6144 samples @48k
+    t = np.arange(4 * block) / AUDIO_SAMPLE_RATE
+    audio = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    outs = []
+    for i in range(4):
+        out, vol, timings = vc.on_request(audio[i * block : (i + 1) * block])
+        assert out.shape == (block,)
+        assert np.isfinite(out).all()
+        outs.append(out)
+    assert vol >= 0
