@@ -33,6 +33,10 @@ def synth_speech_like(duration_s: float, sr: int = 16000, seed: int = 0) -> np.n
 
 
 def main():
+    from rvc_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from rvc_tpu.api import RVC
     from rvc_tpu.configs import get_config
 

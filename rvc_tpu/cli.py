@@ -1,0 +1,318 @@
+"""Command-line interface.
+
+Capability parity with `rvc-mlx-cli.py` / `rvc_cli.py` subcommand
+surfaces: infer, batch_infer, tts, audio_analyzer, convert, preprocess,
+extract, train, index, model_information, model_blender, download,
+prerequisites. Network-dependent commands (tts/download/prerequisites)
+degrade gracefully in air-gapped environments.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_infer_args(p):
+    p.add_argument("--input_path", required=True)
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--model_path", "--pth_path", dest="model_path", required=True)
+    p.add_argument("--index_path", default=None)
+    p.add_argument("--pitch", type=float, default=0)
+    p.add_argument("--f0_method", default="rmvpe",
+                   choices=["rmvpe", "crepe", "crepe-tiny", "fcpe", "dio", "pm", "harvest"])
+    p.add_argument("--index_rate", type=float, default=0.75)
+    p.add_argument("--volume_envelope", type=float, default=1.0)
+    p.add_argument("--protect", type=float, default=0.5)
+    p.add_argument("--f0_autotune", action="store_true")
+    p.add_argument("--f0_autotune_strength", type=float, default=1.0)
+    p.add_argument("--sid", type=int, default=0)
+    p.add_argument("--hubert_path", default=None)
+
+
+def _load_rvc(args):
+    from rvc_tpu.api import RVC
+
+    return RVC(model_path=args.model_path, hubert_path=args.hubert_path,
+               index_path=args.index_path)
+
+
+def cmd_infer(args):
+    rvc = _load_rvc(args)
+    out = rvc.infer_file(
+        args.input_path, args.output_path, sid=args.sid, pitch=args.pitch,
+        f0_method=args.f0_method, index_rate=args.index_rate,
+        volume_envelope=args.volume_envelope, protect=args.protect,
+        f0_autotune=args.f0_autotune,
+        f0_autotune_strength=args.f0_autotune_strength)
+    print(f"wrote {out}")
+
+
+def cmd_batch_infer(args):
+    rvc = _load_rvc(args)
+    os.makedirs(args.output_folder, exist_ok=True)
+    exts = (".wav", ".flac", ".mp3", ".ogg")
+    files = [f for f in sorted(os.listdir(args.input_folder))
+             if f.lower().endswith(exts)]
+    for f in files:
+        out = os.path.join(args.output_folder,
+                           os.path.splitext(f)[0] + "_output.wav")
+        rvc.infer_file(os.path.join(args.input_folder, f), out,
+                       sid=args.sid, pitch=args.pitch,
+                       f0_method=args.f0_method, index_rate=args.index_rate,
+                       volume_envelope=args.volume_envelope,
+                       protect=args.protect)
+        print(f"wrote {out}")
+    print(f"{len(files)} files converted")
+
+
+def cmd_tts(args):
+    try:
+        import edge_tts  # noqa: F401
+    except ImportError:
+        print("edge-tts is not installed (network TTS frontend unavailable); "
+              "provide a wav with `infer` instead.", file=sys.stderr)
+        sys.exit(2)
+    import asyncio
+
+    async def synth():
+        tts = edge_tts.Communicate(args.tts_text, args.tts_voice,
+                                   rate=f"{args.tts_rate:+d}%")
+        await tts.save(args.output_tts_path)
+
+    asyncio.run(synth())
+    rvc = _load_rvc(args)
+    rvc.infer_file(args.output_tts_path, args.output_path, sid=args.sid,
+                   pitch=args.pitch, f0_method=args.f0_method,
+                   index_rate=args.index_rate, protect=args.protect)
+    print(f"wrote {args.output_path}")
+
+
+def cmd_audio_analyzer(args):
+    from rvc_tpu.tools.model_tools import analyze_audio
+
+    print(json.dumps(analyze_audio(args.input_path), indent=2))
+
+
+def cmd_convert(args):
+    from rvc_tpu.tools.model_tools import convert_model
+
+    out = convert_model(args.pth_path, args.output_path)
+    print(f"wrote {out}")
+
+
+def cmd_model_information(args):
+    from rvc_tpu.tools.model_tools import model_information
+
+    print(json.dumps(model_information(args.model_path), indent=2, default=str))
+
+
+def cmd_model_blender(args):
+    from rvc_tpu.tools.model_tools import blend_models
+
+    out = blend_models(args.pth_path_1, args.pth_path_2, args.ratio,
+                       args.output_path)
+    print(f"wrote {out}")
+
+
+def cmd_preprocess(args):
+    from rvc_tpu.preprocess import AudioPreprocessor
+
+    exp_dir = os.path.join(args.logs_dir, args.model_name)
+    os.makedirs(exp_dir, exist_ok=True)
+    pre = AudioPreprocessor(exp_dir, args.sample_rate)
+    n = pre.process_directory(args.dataset_path, args.cut_preprocess,
+                              process_effects=args.process_effects,
+                              chunk_len=args.chunk_len,
+                              overlap_len=args.overlap_len)
+    print(f"{n} segments written to {exp_dir}")
+
+
+def cmd_extract(args):
+    from rvc_tpu.configs import get_config
+    from rvc_tpu.preprocess import FeatureExtractor, DatasetBuilder
+
+    exp_dir = os.path.join(args.logs_dir, args.model_name)
+    cfg = get_config(args.sample_rate)
+    fe = FeatureExtractor(exp_dir, cfg, f0_method=args.f0_method)
+    n = fe.process_all()
+    builder = DatasetBuilder(exp_dir)
+    train_rows, val_rows = builder.build()
+    builder.write_filelist(os.path.join(exp_dir, "filelist_train.txt"), train_rows)
+    builder.write_filelist(os.path.join(exp_dir, "filelist_val.txt"), val_rows)
+    print(f"{n} segments extracted; {len(train_rows)} train / {len(val_rows)} val")
+
+
+def cmd_train(args):
+    from rvc_tpu.configs import get_config
+    from rvc_tpu.preprocess import DatasetBuilder
+    from rvc_tpu.train.data import DataLoader, RVCDataset
+    from rvc_tpu.train.trainer import RVCTrainer
+
+    exp_dir = os.path.join(args.logs_dir, args.model_name)
+    cfg = get_config(args.sample_rate, train_batch_size=args.batch_size,
+                     train_warmup_epochs=args.warmup_epochs)
+    rows = DatasetBuilder.read_filelist(os.path.join(exp_dir, "filelist_train.txt"))
+    # reattach n_frames for bucketing
+    import numpy as np
+
+    for r in rows:
+        if "spec" in r and os.path.exists(r["spec"]):
+            r["n_frames"] = int(np.load(r["spec"], mmap_mode="r").shape[0])
+    ds = RVCDataset(rows, cfg.data.hop_length)
+    loader = DataLoader(ds, args.batch_size)
+    trainer = RVCTrainer(cfg, loader, checkpoint_dir=os.path.join(exp_dir, "ckpt"),
+                         use_overtraining_detector=args.overtraining_detector,
+                         overtraining_threshold=args.overtraining_threshold)
+    if args.g_pretrained_path or args.d_pretrained_path:
+        trainer.load_pretrained(args.g_pretrained_path, args.d_pretrained_path)
+    result = trainer.train(args.total_epoch, save_every=args.save_every_epoch)
+    final = trainer.export_inference_model(
+        os.path.join(exp_dir, f"{args.model_name}.safetensors"))
+    print(json.dumps({"epochs_run": result["epochs_run"],
+                      "best_loss": result["best_loss"], "model": final}))
+
+
+def cmd_index(args):
+    import numpy as np
+
+    from rvc_tpu.retrieval import build_index, write_faiss_index
+
+    exp_dir = os.path.join(args.logs_dir, args.model_name)
+    feat_dir = os.path.join(exp_dir, "features")
+    feats = [np.load(os.path.join(feat_dir, f))
+             for f in sorted(os.listdir(feat_dir)) if f.endswith(".npy")]
+    if not feats:
+        print("no features found; run extract first", file=sys.stderr)
+        sys.exit(2)
+    all_feats = np.concatenate(feats, axis=0)
+    rng = np.random.default_rng(0)
+    rng.shuffle(all_feats)
+    idx = build_index(all_feats)
+    out = os.path.join(exp_dir, f"{args.model_name}.index")
+    write_faiss_index(idx, out)
+    print(f"wrote {out} ({idx.ntotal} vectors, {idx.nlist} lists)")
+
+
+def cmd_download(args):
+    from rvc_tpu.tools.download import download_model
+
+    out = download_model(args.model_link, args.output_dir)
+    print(f"downloaded to {out}")
+
+
+def cmd_prerequisites(args):
+    from rvc_tpu.tools.download import download_prerequisites
+
+    download_prerequisites(pretraineds=args.pretraineds_hifigan,
+                           models=args.models)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("rvc-tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("infer")
+    _add_infer_args(p)
+    p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("batch_infer")
+    _add_infer_args(p)
+    # batch mode replaces single paths
+    for a in list(p._actions):
+        if a.dest in ("input_path", "output_path"):
+            a.required = False
+    p.add_argument("--input_folder", required=True)
+    p.add_argument("--output_folder", required=True)
+    p.set_defaults(fn=cmd_batch_infer, input_path=None, output_path=None)
+
+    p = sub.add_parser("tts")
+    _add_infer_args(p)
+    for a in list(p._actions):
+        if a.dest == "input_path":
+            a.required = False
+    p.add_argument("--tts_text", required=True)
+    p.add_argument("--tts_voice", default="en-US-AriaNeural")
+    p.add_argument("--tts_rate", type=int, default=0)
+    p.add_argument("--output_tts_path", default="tts_output.wav")
+    p.set_defaults(fn=cmd_tts, input_path=None)
+
+    p = sub.add_parser("audio_analyzer")
+    p.add_argument("--input_path", required=True)
+    p.set_defaults(fn=cmd_audio_analyzer)
+
+    p = sub.add_parser("convert")
+    p.add_argument("--pth_path", required=True)
+    p.add_argument("--output_path", default=None)
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("model_information")
+    p.add_argument("--model_path", required=True)
+    p.set_defaults(fn=cmd_model_information)
+
+    p = sub.add_parser("model_blender")
+    p.add_argument("--pth_path_1", required=True)
+    p.add_argument("--pth_path_2", required=True)
+    p.add_argument("--ratio", type=float, default=0.5)
+    p.add_argument("--output_path", default="blended.safetensors")
+    p.set_defaults(fn=cmd_model_blender)
+
+    p = sub.add_parser("preprocess")
+    p.add_argument("--model_name", required=True)
+    p.add_argument("--dataset_path", required=True)
+    p.add_argument("--sample_rate", type=int, default=48000,
+                   choices=[32000, 40000, 48000])
+    p.add_argument("--cut_preprocess", default="Automatic",
+                   choices=["Skip", "Simple", "Automatic"])
+    p.add_argument("--process_effects", action="store_true", default=True)
+    p.add_argument("--chunk_len", type=float, default=3.0)
+    p.add_argument("--overlap_len", type=float, default=0.3)
+    p.add_argument("--logs_dir", default="logs")
+    p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser("extract")
+    p.add_argument("--model_name", required=True)
+    p.add_argument("--sample_rate", type=int, default=48000)
+    p.add_argument("--f0_method", default="rmvpe")
+    p.add_argument("--logs_dir", default="logs")
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("train")
+    p.add_argument("--model_name", required=True)
+    p.add_argument("--sample_rate", type=int, default=48000)
+    p.add_argument("--total_epoch", type=int, default=300)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--save_every_epoch", type=int, default=10)
+    p.add_argument("--warmup_epochs", type=int, default=0)
+    p.add_argument("--g_pretrained_path", default=None)
+    p.add_argument("--d_pretrained_path", default=None)
+    p.add_argument("--overtraining_detector", action="store_true")
+    p.add_argument("--overtraining_threshold", type=int, default=50)
+    p.add_argument("--logs_dir", default="logs")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("index")
+    p.add_argument("--model_name", required=True)
+    p.add_argument("--logs_dir", default="logs")
+    p.add_argument("--index_algorithm", default="Auto",
+                   choices=["Auto", "Faiss", "KMeans"])
+    p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("download")
+    p.add_argument("--model_link", required=True)
+    p.add_argument("--output_dir", default="models")
+    p.set_defaults(fn=cmd_download)
+
+    p = sub.add_parser("prerequisites")
+    p.add_argument("--pretraineds_hifigan", action="store_true")
+    p.add_argument("--models", action="store_true", default=True)
+    p.set_defaults(fn=cmd_prerequisites)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

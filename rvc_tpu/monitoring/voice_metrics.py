@@ -1,0 +1,90 @@
+"""Voice-quality metrics.
+
+Capability parity with `rvc_mlx/monitoring/voice_metrics.py`: F0 accuracy
+(voiced agreement + cent error), mel-cepstral distortion, spectrogram
+correlation (the reference's headline parity metric,
+`benchmark_audio_parity.py:438`), and SNR.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from rvc_tpu.ops.stft import mel_filterbank
+
+
+def f0_accuracy(f0_ref: np.ndarray, f0_est: np.ndarray,
+                cent_tolerance: float = 50.0) -> Dict[str, float]:
+    """Voiced/unvoiced agreement + fraction of voiced frames within
+    `cent_tolerance` cents + mean absolute cent error."""
+    n = min(len(f0_ref), len(f0_est))
+    r, e = np.asarray(f0_ref[:n]), np.asarray(f0_est[:n])
+    vr, ve = r > 0, e > 0
+    vuv_agree = float(np.mean(vr == ve)) if n else 0.0
+    both = vr & ve
+    if both.sum() == 0:
+        return dict(vuv_accuracy=vuv_agree, pitch_accuracy=0.0,
+                    mean_cent_error=float("inf"))
+    cents = 1200.0 * np.abs(np.log2(e[both] / r[both]))
+    return dict(
+        vuv_accuracy=vuv_agree,
+        pitch_accuracy=float(np.mean(cents <= cent_tolerance)),
+        mean_cent_error=float(np.mean(cents)),
+    )
+
+
+def _mfcc_like(audio: np.ndarray, sr: int, n_mfcc: int = 13,
+               n_fft: int = 1024, hop: int = 256) -> np.ndarray:
+    pad = n_fft // 2
+    a = np.pad(np.asarray(audio, dtype=np.float64), (pad, pad), mode="reflect")
+    n = 1 + (len(a) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n)[:, None]
+    frames = a[idx] * np.hanning(n_fft)
+    mag = np.abs(np.fft.rfft(frames, axis=1))
+    fb = mel_filterbank(sr, n_fft, 40, 0, None, htk=True)
+    logmel = np.log(np.maximum(mag @ fb.T, 1e-10))
+    # DCT-II, orthonormal
+    k = np.arange(40)
+    dct = np.cos(np.pi / 40 * (k[None, :] + 0.5) * np.arange(n_mfcc)[:, None])
+    return logmel @ dct.T  # (T, n_mfcc)
+
+
+def mel_cepstral_distortion(ref: np.ndarray, est: np.ndarray, sr: int) -> float:
+    """MCD in dB over aligned frames (c1..c12)."""
+    m1 = _mfcc_like(ref, sr)
+    m2 = _mfcc_like(est, sr)
+    n = min(len(m1), len(m2))
+    if n == 0:
+        return float("inf")
+    d = m1[:n, 1:] - m2[:n, 1:]
+    return float((10.0 / np.log(10)) * np.sqrt(2.0) *
+                 np.mean(np.sqrt(np.sum(d * d, axis=1))))
+
+
+def spectrogram_correlation(ref: np.ndarray, est: np.ndarray,
+                            n_fft: int = 2048, hop: int = 512) -> float:
+    """Pearson correlation of log-magnitude spectrograms — the reference's
+    perceptual-parity bar is > 0.95 (`benchmark_audio_parity.py:438`)."""
+    def spec(a):
+        a = np.asarray(a, dtype=np.float64)
+        n = 1 + max(0, (len(a) - n_fft)) // hop
+        idx = np.arange(n_fft)[None, :] + hop * np.arange(n)[:, None]
+        frames = a[idx] * np.hanning(n_fft)
+        return np.log(np.abs(np.fft.rfft(frames, axis=1)) + 1e-8)
+
+    n = min(len(ref), len(est))
+    s1, s2 = spec(ref[:n]).ravel(), spec(est[:n]).ravel()
+    if s1.std() < 1e-9 or s2.std() < 1e-9:
+        return 0.0
+    return float(np.corrcoef(s1, s2)[0, 1])
+
+
+def signal_to_noise_ratio(ref: np.ndarray, est: np.ndarray) -> float:
+    n = min(len(ref), len(est))
+    ref, est = np.asarray(ref[:n], np.float64), np.asarray(est[:n], np.float64)
+    noise = ref - est
+    p_sig = np.sum(ref ** 2)
+    p_noise = max(np.sum(noise ** 2), 1e-12)
+    return float(10.0 * np.log10(max(p_sig, 1e-12) / p_noise))
