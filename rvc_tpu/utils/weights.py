@@ -234,6 +234,47 @@ def convert_hubert_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
     return unflatten_tree(flat)
 
 
+# FCPE translation (torch `rvc/lib/predictors/FCPE.py` state dict).
+_FCPE_RULES = [
+    (r"^stack\.0\.(weight|bias)$", r"stack_conv1/\1", "conv1d"),
+    (r"^stack\.1\.weight$", r"stack_gn_weight", None),
+    (r"^stack\.1\.bias$", r"stack_gn_bias", None),
+    (r"^stack\.3\.(weight|bias)$", r"stack_conv2/\1", "conv1d"),
+    (r"^decoder\._layers\.(\d+)\.norm\.(weight|bias)$",
+     r"decoder_layers_\1/norm/\2", None),
+    (r"^decoder\._layers\.(\d+)\.attn\.to_(q|k|v|out)\.(weight|bias)$",
+     r"decoder_layers_\1/attn/to_\2/\3", None),
+    (r"^decoder\._layers\.(\d+)\.attn\.fast_attention\.projection_matrix$",
+     r"decoder_layers_\1/attn/projection_matrix", None),
+    (r"^decoder\._layers\.(\d+)\.conformer\.net\.0\.(weight|bias)$",
+     r"decoder_layers_\1/conformer/ln/\2", None),
+    (r"^decoder\._layers\.(\d+)\.conformer\.net\.2\.(weight|bias)$",
+     r"decoder_layers_\1/conformer/conv_in/\2", "conv1d"),
+    (r"^decoder\._layers\.(\d+)\.conformer\.net\.4\.conv\.(weight|bias)$",
+     r"decoder_layers_\1/conformer/depthwise/\2", "conv1d"),
+    (r"^decoder\._layers\.(\d+)\.conformer\.net\.6\.(weight|bias)$",
+     r"decoder_layers_\1/conformer/conv_out/\2", "conv1d"),
+    (r"^norm\.(weight|bias)$", r"norm/\1", None),
+    (r"^dense_out\.(weight|bias)$", r"dense_out/\1", None),
+]
+
+
+def convert_fcpe_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """Torch FCPE state dict (fcpe.pt 'model' entry) -> our flax tree."""
+    sd = fuse_weight_norm({k: np.asarray(v) for k, v in sd.items()})
+    flat: Dict[str, np.ndarray] = {}
+    for key, val in sd.items():
+        for pat, tmpl, kind in _FCPE_RULES:
+            m = re.match(pat, key)
+            if m:
+                v = np.asarray(val, dtype=np.float32)
+                if kind == "conv1d" and key.endswith("weight") and v.ndim == 3:
+                    v = _t_conv1d(v)
+                flat[m.expand(tmpl)] = v
+                break
+    return unflatten_tree(flat)
+
+
 def convert_rmvpe_state_dict(sd: Dict[str, np.ndarray]):
     """Torch RMVPE E2E state dict -> (params, batch_stats) flax trees.
 

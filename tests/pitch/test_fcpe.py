@@ -1,0 +1,82 @@
+"""FCPE: parity vs the torch PCmer oracle + functional behavior."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from rvc_tpu.models.fcpe import FCPE, FCPEModel, cents_local_decoder, CENT_TABLE
+from rvc_tpu.utils.weights import convert_fcpe_state_dict
+
+
+@pytest.fixture(scope="module")
+def torch_fcpe():
+    # stub the unavailable deps (unused when local_heads=0)
+    ta = types.ModuleType("torchaudio")
+    ta_t = types.ModuleType("torchaudio.transforms")
+    ta_t.Resample = object
+    ta.transforms = ta_t
+    sys.modules["torchaudio"] = ta
+    sys.modules["torchaudio.transforms"] = ta_t
+    la = types.ModuleType("local_attention")
+    la.LocalAttention = object
+    sys.modules.setdefault("local_attention", la)
+    sf = types.ModuleType("soundfile")
+    sys.modules.setdefault("soundfile", sf)
+    import rvc_tpu.ops.stft as stft_ops
+
+    lib = types.ModuleType("librosa")
+    filt = types.ModuleType("librosa.filters")
+    filt.mel = lambda *, sr, n_fft, n_mels, fmin=0.0, fmax=None, htk=False: (
+        stft_ops.mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk=htk))
+    lib.filters = filt
+    sys.modules.setdefault("librosa", lib)
+    sys.modules.setdefault("librosa.filters", filt)
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from rvc.lib.predictors.FCPE import FCPE as TorchFCPE
+
+    torch.manual_seed(0)
+    return TorchFCPE(n_layers=2, n_chans=64).eval()
+
+
+@pytest.mark.parity
+def test_fcpe_parity(torch_fcpe, rng):
+    params = convert_fcpe_state_dict(
+        {k: v.numpy() for k, v in torch_fcpe.state_dict().items()})
+    model = FCPEModel(n_layers=2, n_chans=64)
+    mel = rng.standard_normal((1, 40, 128)).astype(np.float32)
+    with torch.no_grad():
+        # torch forward with infer=False path needs gt; use the salience head
+        x = torch_fcpe.stack(torch.from_numpy(mel).transpose(1, 2)).transpose(1, 2)
+        x = torch_fcpe.decoder(x)
+        x = torch_fcpe.norm(x)
+        ref = torch.sigmoid(torch_fcpe.dense_out(x)).numpy()
+    out = np.asarray(model.apply({"params": params}, jnp.asarray(mel)))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_cents_local_decoder():
+    y = np.zeros((1, 3, 360), dtype=np.float32)
+    y[0, :, 180] = 1.0
+    f0 = np.asarray(cents_local_decoder(jnp.asarray(y)))
+    expected = 10 * 2 ** (CENT_TABLE[180] / 1200)
+    np.testing.assert_allclose(f0[0], expected, rtol=1e-4)
+    # below threshold -> 0
+    y2 = np.full((1, 2, 360), 0.01, dtype=np.float32)
+    assert (np.asarray(cents_local_decoder(jnp.asarray(y2))) == 0).all()
+
+
+@pytest.mark.slow
+def test_fcpe_random_runs(sine_wave):
+    y, sr = sine_wave
+    f = FCPE(seed=0)
+    f0 = f.infer_from_audio(y[: sr // 2])
+    assert np.isfinite(f0).all()
+    assert f0.shape[0] > 0
