@@ -51,6 +51,29 @@ def coarse_f0(f0: np.ndarray) -> np.ndarray:
     return np.rint(scaled).astype(np.int32)
 
 
+def coarse_f0_jnp(f0: jax.Array) -> jax.Array:
+    """Device version of coarse_f0 for the fused conversion path."""
+    f0_mel = 1127.0 * jnp.log(1.0 + f0 / 700.0)
+    scaled = jnp.where(
+        f0_mel > 0,
+        (f0_mel - F0_MEL_MIN) * 254.0 / (F0_MEL_MAX - F0_MEL_MIN) + 1.0,
+        f0_mel,
+    )
+    return jnp.rint(jnp.clip(scaled, 1.0, 255.0)).astype(jnp.int32)
+
+
+def autotune_f0_jnp(f0: jax.Array, strength: jax.Array) -> jax.Array:
+    """Device autotune: snap toward nearest table note by `strength`
+    (strength 0 = identity, so it can stay in the fused graph)."""
+    from rvc_tpu.pitch.autotune import NOTE_TABLE
+
+    table = jnp.asarray(NOTE_TABLE)
+    idx = jnp.argmin(jnp.abs(f0[..., None] - table[None, :]), axis=-1)
+    closest = table[idx]
+    tuned = f0 + (closest - f0) * strength
+    return jnp.where(f0 > 0, tuned, f0)
+
+
 @partial(jax.jit, static_argnames=("upsample",))
 def _upsample_protect(
     feats: jax.Array,       # (B, T, C) post-retrieval features
@@ -94,6 +117,7 @@ class Pipeline:
         self.config = config or PipelineConfig()
         self.synthesizer = synthesizer
         self.synth_variables = synth_variables
+        self.cfg_use_f0 = getattr(getattr(synthesizer, "model", None), "use_f0", True)
         self.hubert = hubert
         self.hubert_variables = hubert_variables
         self.pitch_extractor = pitch_extractor
@@ -109,6 +133,117 @@ class Pipeline:
         self._infer_jit = jax.jit(
             lambda v, ph, l, pi, pf, sid: self.synthesizer.apply(
                 v, ph, l, pi, pf, sid, method=self.synthesizer.infer))
+        self._fused = {}
+
+    # ------------------------------------------------------------------
+    # Fused single-program conversion (the TPU fast path): RMVPE f0 +
+    # HuBERT + retrieval + protect + synthesizer in ONE jitted call —
+    # one host->device transfer (audio) and one device->host (waveform).
+    def _build_fused(self, use_index: bool):
+        from rvc_tpu.models.rmvpe import decode_salience
+        from rvc_tpu.ops.stft import log_mel_spectrogram
+        from rvc_tpu.retrieval.ivf import _ivf_search
+
+        synth = self.synthesizer
+        hubert = self.hubert
+
+        def fn(synth_vars, hubert_vars, rmvpe_vars, audio, sid, p_len,
+               pitch_shift, autotune_strength, protect, index_rate,
+               index_arrays=None, nprobe: int = 1):
+            T = audio.shape[1]
+            p_len0 = T // WINDOW
+
+            # --- f0 (RMVPE) ---
+            mel = log_mel_spectrogram(audio, 1024, 128, SAMPLE_RATE, WINDOW,
+                                      1024, fmin=30, fmax=8000, htk=True)
+            n_frames = mel.shape[1]
+            pad = 32 * ((n_frames - 1) // 32 + 1) - n_frames
+            melp = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)), mode="reflect") if pad else mel
+            hidden = hubert_rmvpe_apply(rmvpe_vars, melp)[:, :n_frames]
+            f0 = decode_salience(hidden, 0.03)[:, :p_len0]
+            # facade range gate (PitchExtractor.extract): outside
+            # [f0_min, f0_max] counts as unvoiced
+            f0 = jnp.where((f0 >= F0_MIN) & (f0 <= F0_MAX), f0, 0.0)
+            f0 = autotune_f0_jnp(f0, autotune_strength)
+            f0 = f0 * 2.0 ** (pitch_shift / 12.0)
+
+            # --- content features ---
+            feats = hubert.apply(hubert_vars, audio, output_hidden_states=True)
+            feats_raw = feats
+            if use_index:
+                vectors, vec_sq, list_ids, centroids = index_arrays
+                d, i = _ivf_search(feats[0], vectors, vec_sq, list_ids,
+                                   centroids, 8, nprobe)
+                from rvc_tpu.retrieval.ivf import index_blend
+
+                feats = index_blend(feats[0], vectors[i], d, index_rate)[None]
+
+            t_feat = feats.shape[1] * 2
+            if p_len0 >= t_feat:
+                f0 = f0[:, :t_feat]
+            else:
+                f0 = jnp.pad(f0, ((0, 0), (0, t_feat - p_len0)))
+            # zero f0 beyond the true (unpadded) frame count so bucket
+            # padding behaves identically to the staged path
+            frame_valid = (jnp.arange(t_feat)[None, :] < p_len[:, None])
+            f0 = jnp.where(frame_valid, f0, 0.0)
+            pitch = coarse_f0_jnp(f0)
+            feats_up = _upsample_protect(feats, feats_raw, f0, protect)
+
+            wave, _ = synth.apply(
+                synth_vars, feats_up, p_len, pitch, f0,
+                sid, method=synth.infer)
+            return wave[:, :, 0]
+
+        def hubert_rmvpe_apply(v, mel):
+            return self._rmvpe_model.apply(v, mel)
+
+        return jax.jit(fn, static_argnames=("nprobe",))
+
+    def _get_rmvpe(self):
+        if self.pitch_extractor is None or self.pitch_extractor.method != "rmvpe":
+            self.pitch_extractor = PitchExtractor("rmvpe")
+        return self.pitch_extractor._model
+
+    def fused_convert(
+        self,
+        audio0: np.ndarray,
+        sid: int,
+        pitch_shift: float,
+        autotune_strength: float,
+        protect: float,
+        index: Optional[IVFFlatIndex],
+        index_rate: float,
+    ) -> np.ndarray:
+        """Single-call conversion of a padded 16 kHz chunk with RMVPE f0."""
+        rmvpe = self._get_rmvpe()
+        self._rmvpe_model = rmvpe.model
+        n = len(audio0)
+        n_pad = self._bucket_samples(n)
+        audio = jnp.asarray(np.pad(
+            audio0.astype(np.float32), (0, n_pad - n),
+            mode="reflect" if n_pad - n < n else "constant"))[None]
+
+        use_index = index is not None and index_rate > 0
+        if use_index not in self._fused:
+            self._fused[use_index] = self._build_fused(use_index)
+        fn = self._fused[use_index]
+        # true frame count of the unpadded chunk, capped at the feature grid
+        hub_frames = (n_pad - 400) // 320 + 1
+        p_len = min(n // self.window, 2 * hub_frames)
+        p_len_j = jnp.array([p_len])
+        if use_index:
+            v, v_sq, lids, cents = index._dev()
+            out = fn(self.synth_variables, self.hubert_variables,
+                     rmvpe.variables, audio, jnp.array([sid]), p_len_j,
+                     pitch_shift, autotune_strength, protect, index_rate,
+                     (v, v_sq, lids, cents), nprobe=index.nprobe)
+        else:
+            out = fn(self.synth_variables, self.hubert_variables,
+                     rmvpe.variables, audio, jnp.array([sid]), p_len_j,
+                     pitch_shift, autotune_strength, protect, 0.0)
+        out = np.asarray(out[0])
+        return out[: p_len * (self.tgt_sr // 100)]
 
     # ------------------------------------------------------------------
     def get_f0(
@@ -153,7 +288,8 @@ class Pipeline:
     ) -> np.ndarray:
         n = len(audio0)
         n_pad = self._bucket_samples(n)
-        audio_padded = np.pad(audio0.astype(np.float32), (0, n_pad - n))
+        audio_padded = np.pad(audio0.astype(np.float32), (0, n_pad - n),
+                              mode="reflect" if n_pad - n < n else "constant")
 
         feats = self._hubert_jit(self.hubert_variables, jnp.asarray(audio_padded)[None])
         feats_raw = feats
@@ -242,19 +378,29 @@ class Pipeline:
             bounds.append((prev, len(audio)))
 
         audio_pad_full = np.pad(audio, (t_pad, t_pad), mode="reflect")
+        # fused single-program fast path: RMVPE pitch guidance without a
+        # user-supplied f0 curve (everything else uses the staged path)
+        fused_ok = (pitch_guidance and f0_method == "rmvpe"
+                    and input_f0 is None and self.cfg_use_f0)
         out_chunks = []
         for (s, e) in bounds:
             # chunk with t_pad context on both sides (positions shift by +t_pad)
             chunk = audio_pad_full[s : e + 2 * t_pad]
-            p_len = len(chunk) // self.window
-            if pitch_guidance:
-                pitch, pitchf = self.get_f0(
-                    chunk, p_len, f0_method, pitch_shift,
-                    f0_autotune, f0_autotune_strength, input_f0)
+            if fused_ok:
+                conv = self.fused_convert(
+                    chunk, sid, pitch_shift,
+                    f0_autotune_strength if f0_autotune else 0.0,
+                    protect, index, index_rate)
             else:
-                pitch = pitchf = None
-            conv = self.voice_conversion(
-                chunk, pitch, pitchf, sid, index, index_rate, protect)
+                p_len = len(chunk) // self.window
+                if pitch_guidance:
+                    pitch, pitchf = self.get_f0(
+                        chunk, p_len, f0_method, pitch_shift,
+                        f0_autotune, f0_autotune_strength, input_f0)
+                else:
+                    pitch = pitchf = None
+                conv = self.voice_conversion(
+                    chunk, pitch, pitchf, sid, index, index_rate, protect)
             pad_tgt = int(t_pad * (self.tgt_sr / SAMPLE_RATE))
             out_chunks.append(conv[pad_tgt:-pad_tgt] if pad_tgt else conv)
 

@@ -1,0 +1,62 @@
+"""Fused single-program conversion path: must agree with the staged path."""
+
+import numpy as np
+import pytest
+
+from rvc_tpu.api import RVC
+from rvc_tpu.configs import get_config
+
+
+@pytest.fixture(scope="module")
+def tiny_rvc():
+    cfg = get_config(32000, model_spk_embed_dim=2, model_n_layers=1,
+                     model_upsample_initial_channel=64)
+    return RVC(config=cfg, seed=0)
+
+
+@pytest.mark.slow
+def test_fused_matches_staged(tiny_rvc, sine_wave):
+    y, sr = sine_wave
+    chunk = y[:14080]  # len+2*t_pad = 46080 = exactly 3 buckets
+    # fused (rmvpe) vs staged (forced by giving input_f0 through get_f0 path)
+    out_fused = tiny_rvc.pipeline.pipeline(
+        chunk, sid=0, f0_method="rmvpe", index=None, index_rate=0.0,
+        volume_envelope=1.0, protect=0.5)
+    # staged path: explicitly run the same f0 extractor then voice_conversion
+    p = tiny_rvc.pipeline
+    from rvc_tpu.utils.audio import highpass_filter
+    a = highpass_filter(chunk, 16000, 48.0, 5)  # noqa
+    ap = np.pad(a, (p.t_pad, p.t_pad), mode="reflect")
+    p_len = len(ap) // p.window
+    pitch, pitchf = p.get_f0(ap, p_len, "rmvpe", 0.0)
+    conv = p.voice_conversion(ap, pitch, pitchf, 0, None, 0.0, 0.5)
+    pad_tgt = int(p.t_pad * (p.tgt_sr / 16000))
+    out_staged = conv[pad_tgt:-pad_tgt]
+    from rvc_tpu.utils.audio import peak_normalize
+    out_staged = peak_normalize(out_staged, 0.99)
+
+    n = min(len(out_fused), len(out_staged))
+    assert n > 0
+    # same weights + same f0 estimator -> near-identical output
+    corr = np.corrcoef(out_fused[:n], out_staged[:n])[0, 1]
+    assert corr > 0.99, f"fused/staged corr {corr:.4f}"
+
+
+@pytest.mark.slow
+def test_fused_with_index(tiny_rvc, sine_wave, rng):
+    from rvc_tpu.retrieval import build_index
+
+    y, _ = sine_wave
+    vecs = rng.standard_normal((200, 768)).astype(np.float32)
+    tiny_rvc.index = build_index(vecs, nlist=4)
+    out = tiny_rvc.infer(y[:8000], f0_method="rmvpe", index_rate=0.75)
+    tiny_rvc.index = None
+    assert np.isfinite(out).all()
+
+
+@pytest.mark.slow
+def test_fused_autotune_and_shift(tiny_rvc, sine_wave):
+    y, _ = sine_wave
+    out = tiny_rvc.infer(y[:8000], f0_method="rmvpe", pitch=2.0,
+                         f0_autotune=True, f0_autotune_strength=1.0)
+    assert np.isfinite(out).all()
