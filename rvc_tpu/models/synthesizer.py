@@ -58,13 +58,39 @@ class Synthesizer(nn.Module):
             gin_channels=m.gin_channels,
         )
         if m.use_f0:
-            self.dec = HiFiGANNSFGenerator(
-                m.inter_channels, m.resblock_kernel_sizes,
-                m.resblock_dilation_sizes, m.upsample_rates,
-                m.upsample_initial_channel, m.upsample_kernel_sizes,
-                m.gin_channels, self.sr,
-            )
+            if m.vocoder == "MRF HiFi-GAN":
+                from rvc_tpu.models.generators_extra import HiFiGANMRFGenerator
+
+                self.dec = HiFiGANMRFGenerator(
+                    in_channel=m.inter_channels,
+                    upsample_initial_channel=m.upsample_initial_channel,
+                    upsample_rates=m.upsample_rates,
+                    upsample_kernel_sizes=m.upsample_kernel_sizes,
+                    resblock_kernel_sizes=m.resblock_kernel_sizes,
+                    resblock_dilations=m.resblock_dilation_sizes,
+                    gin_channels=m.gin_channels,
+                    sample_rate=self.sr,
+                    harmonic_num=8,
+                )
+            elif m.vocoder == "RefineGAN":
+                from rvc_tpu.models.generators_extra import RefineGANGenerator
+
+                self.dec = RefineGANGenerator(
+                    sample_rate=self.sr,
+                    upsample_rates=m.upsample_rates,
+                    num_mels=m.inter_channels,
+                    upsample_initial_channel=m.upsample_initial_channel,
+                    gin_channels=m.gin_channels,
+                )
+            else:
+                self.dec = HiFiGANNSFGenerator(
+                    m.inter_channels, m.resblock_kernel_sizes,
+                    m.resblock_dilation_sizes, m.upsample_rates,
+                    m.upsample_initial_channel, m.upsample_kernel_sizes,
+                    m.gin_channels, self.sr,
+                )
         else:
+            # MRF/RefineGAN require pitch guidance (reference behavior)
             self.dec = HiFiGANGenerator(
                 m.inter_channels, m.resblock_kernel_sizes,
                 m.resblock_dilation_sizes, m.upsample_rates,
