@@ -136,46 +136,52 @@ class Pipeline:
         self._fused = {}
 
     # ------------------------------------------------------------------
-    # Fused single-program conversion (the TPU fast path): RMVPE f0 +
-    # HuBERT + retrieval + protect + synthesizer in ONE jitted call —
-    # one host->device transfer (audio) and one device->host (waveform).
-    def _build_fused(self, use_index: bool):
+    # Fused conversion (the TPU fast path): TWO jitted programs with a
+    # device-resident handoff — program A computes RMVPE f0 (mel -> U-Net
+    # -> decode -> gates), program B does HuBERT + retrieval + protect +
+    # synthesizer. Audio uploads once, the waveform downloads once, and
+    # each program stays small enough to compile (and persist-cache) fast.
+    def _build_f0_program(self):
         from rvc_tpu.models.rmvpe import decode_salience
         from rvc_tpu.ops.stft import log_mel_spectrogram
-        from rvc_tpu.retrieval.ivf import _ivf_search
 
-        synth = self.synthesizer
-        hubert = self.hubert
+        rmvpe_model = self._rmvpe_model
 
-        def fn(synth_vars, hubert_vars, rmvpe_vars, audio, sid, p_len,
-               pitch_shift, autotune_strength, protect, index_rate,
-               index_arrays=None, nprobe: int = 1):
+        def fn_f0(rmvpe_vars, audio, pitch_shift, autotune_strength):
             T = audio.shape[1]
             p_len0 = T // WINDOW
-
-            # --- f0 (RMVPE) ---
             mel = log_mel_spectrogram(audio, 1024, 128, SAMPLE_RATE, WINDOW,
                                       1024, fmin=30, fmax=8000, htk=True)
             n_frames = mel.shape[1]
             pad = 32 * ((n_frames - 1) // 32 + 1) - n_frames
             melp = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)), mode="reflect") if pad else mel
-            hidden = hubert_rmvpe_apply(rmvpe_vars, melp)[:, :n_frames]
+            hidden = rmvpe_model.apply(rmvpe_vars, melp)[:, :n_frames]
             f0 = decode_salience(hidden, 0.03)[:, :p_len0]
             # facade range gate (PitchExtractor.extract): outside
             # [f0_min, f0_max] counts as unvoiced
             f0 = jnp.where((f0 >= F0_MIN) & (f0 <= F0_MAX), f0, 0.0)
             f0 = autotune_f0_jnp(f0, autotune_strength)
-            f0 = f0 * 2.0 ** (pitch_shift / 12.0)
+            return f0 * 2.0 ** (pitch_shift / 12.0)
 
-            # --- content features ---
+        return jax.jit(fn_f0)
+
+    def _build_fused(self, use_index: bool):
+        from rvc_tpu.retrieval.ivf import _ivf_search, index_blend
+
+        synth = self.synthesizer
+        hubert = self.hubert
+
+        def fn(synth_vars, hubert_vars, audio, f0, sid, p_len,
+               protect, index_rate, index_arrays=None, nprobe: int = 1):
+            T = audio.shape[1]
+            p_len0 = T // WINDOW
+
             feats = hubert.apply(hubert_vars, audio, output_hidden_states=True)
             feats_raw = feats
             if use_index:
                 vectors, vec_sq, list_ids, centroids = index_arrays
                 d, i = _ivf_search(feats[0], vectors, vec_sq, list_ids,
                                    centroids, 8, nprobe)
-                from rvc_tpu.retrieval.ivf import index_blend
-
                 feats = index_blend(feats[0], vectors[i], d, index_rate)[None]
 
             t_feat = feats.shape[1] * 2
@@ -194,9 +200,6 @@ class Pipeline:
                 synth_vars, feats_up, p_len, pitch, f0,
                 sid, method=synth.infer)
             return wave[:, :, 0]
-
-        def hubert_rmvpe_apply(v, mel):
-            return self._rmvpe_model.apply(v, mel)
 
         return jax.jit(fn, static_argnames=("nprobe",))
 
@@ -225,23 +228,28 @@ class Pipeline:
             mode="reflect" if n_pad - n < n else "constant"))[None]
 
         use_index = index is not None and index_rate > 0
+        if "f0" not in self._fused:
+            self._fused["f0"] = self._build_f0_program()
         if use_index not in self._fused:
             self._fused[use_index] = self._build_fused(use_index)
+        fn_f0 = self._fused["f0"]
         fn = self._fused[use_index]
         # true frame count of the unpadded chunk, capped at the feature grid
         hub_frames = (n_pad - 400) // 320 + 1
         p_len = min(n // self.window, 2 * hub_frames)
         p_len_j = jnp.array([p_len])
+
+        f0 = fn_f0(rmvpe.variables, audio, pitch_shift, autotune_strength)
         if use_index:
             v, v_sq, lids, cents = index._dev()
             out = fn(self.synth_variables, self.hubert_variables,
-                     rmvpe.variables, audio, jnp.array([sid]), p_len_j,
-                     pitch_shift, autotune_strength, protect, index_rate,
+                     audio, f0, jnp.array([sid]), p_len_j,
+                     protect, index_rate,
                      (v, v_sq, lids, cents), nprobe=index.nprobe)
         else:
             out = fn(self.synth_variables, self.hubert_variables,
-                     rmvpe.variables, audio, jnp.array([sid]), p_len_j,
-                     pitch_shift, autotune_strength, protect, 0.0)
+                     audio, f0, jnp.array([sid]), p_len_j,
+                     protect, 0.0)
         out = np.asarray(out[0])
         return out[: p_len * (self.tgt_sr // 100)]
 
