@@ -78,10 +78,53 @@ class DiscriminatorP(nn.Module):
         return x.reshape(x.shape[0], -1), fmap
 
 
+class DiscriminatorR(nn.Module):
+    """Multi-resolution STFT discriminator (reference
+    `rvc/lib/algorithm/discriminators.py:172`, used with RefineGAN):
+    rectangular-window magnitude STFT -> five (3,9)/(3,3) conv2d layers."""
+
+    resolution: Tuple[int, int, int]  # (n_fft, hop, win)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
+        from rvc_tpu.ops.stft import stft as stft_op
+
+        n_fft, hop, win = self.resolution
+        wav = x[:, :, 0]
+        pad = int((n_fft - hop) / 2)
+        wav = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+        z = stft_op(wav, n_fft, hop, win,
+                    window=jnp.ones((win,), dtype=wav.dtype), center=False)
+        mag = jnp.abs(z)  # (B, T, F)
+        h = mag[:, :, :, None]  # (B, T, F, 1) — conv over (time, freq)
+
+        fmap = []
+        specs = [
+            (1, 32, (3, 9), (1, 1), (1, 4)),
+            (32, 32, (3, 9), (1, 2), (1, 4)),
+            (32, 32, (3, 9), (1, 2), (1, 4)),
+            (32, 32, (3, 9), (1, 2), (1, 4)),
+            (32, 32, (3, 3), (1, 1), (1, 1)),
+        ]
+        for i, (ci, co, k, s, p) in enumerate(specs):
+            h = Conv2d(ci, co, k, stride=s, padding=p, name=f"convs_{i}")(h)
+            h = leaky_relu(h)
+            fmap.append(h)
+        h = Conv2d(32, 1, (3, 3), padding=(1, 1), name="conv_post")(h)
+        fmap.append(h)
+        return h.reshape(h.shape[0], -1), fmap
+
+
+MRD_RESOLUTIONS = ((1024, 120, 600), (2048, 240, 1200), (4096, 480, 2400))
+
+
 class MultiPeriodDiscriminator(nn.Module):
-    """Runs DiscriminatorS + all DiscriminatorP's on (real, generated)."""
+    """Runs DiscriminatorS + all DiscriminatorP's (+ optional
+    multi-resolution DiscriminatorR bank for RefineGAN training) on
+    (real, generated)."""
 
     periods: Sequence[int] = PERIODS_V2
+    use_multi_resolution: bool = False
 
     @nn.compact
     def __call__(self, y: jax.Array, y_hat: jax.Array):
@@ -89,6 +132,9 @@ class MultiPeriodDiscriminator(nn.Module):
         discs = [DiscriminatorS(name="disc_s")] + [
             DiscriminatorP(p, name=f"disc_p_{p}") for p in self.periods
         ]
+        if self.use_multi_resolution:
+            discs += [DiscriminatorR(r, name=f"disc_r_{r[0]}")
+                      for r in MRD_RESOLUTIONS]
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for d in discs:
             dr, fr = d(y)

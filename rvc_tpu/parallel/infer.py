@@ -1,0 +1,115 @@
+"""Batched data-parallel conversion over a device mesh.
+
+The BASELINE's scaling config: batches of long-form utterances convert
+data-parallel across chips/hosts — batch dim sharded over "data", model
+weights replicated (or TP-sharded), retrieval sharded with the same
+masked-matmul search (each shard scans its slice; top-k merges inside
+the program via GSPMD).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rvc_tpu.pipelines.offline import (
+    SAMPLE_RATE,
+    WINDOW,
+    F0_MIN,
+    F0_MAX,
+    _upsample_protect,
+    autotune_f0_jnp,
+    coarse_f0_jnp,
+)
+
+
+class BatchConverter:
+    """Converts equal-length utterance batches in two sharded programs
+    (f0 + conversion), batch split over the mesh's "data" axis."""
+
+    def __init__(self, rvc, mesh):
+        self.rvc = rvc
+        self.mesh = mesh
+        self._f0_fn = None
+        self._conv_fn = None
+        self._rmvpe = None
+
+    def _build(self):
+        from rvc_tpu.models.rmvpe import decode_salience
+        from rvc_tpu.ops.stft import log_mel_spectrogram
+        from rvc_tpu.pitch import PitchExtractor
+
+        if self._rmvpe is None:
+            self._rmvpe = PitchExtractor("rmvpe")._model
+        rmvpe_model = self._rmvpe.model
+        hubert = self.rvc.hubert
+        synth = self.rvc.synthesizer
+        mesh = self.mesh
+        batch_sh = NamedSharding(mesh, P("data"))
+
+        def fn_f0(rmvpe_vars, audio, pitch_shift):
+            T = audio.shape[1]
+            p_len0 = T // WINDOW
+            mel = log_mel_spectrogram(audio, 1024, 128, SAMPLE_RATE, WINDOW,
+                                      1024, fmin=30, fmax=8000, htk=True)
+            n_frames = mel.shape[1]
+            pad = 32 * ((n_frames - 1) // 32 + 1) - n_frames
+            melp = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)), mode="reflect") if pad else mel
+            hidden = rmvpe_model.apply(rmvpe_vars, melp)[:, :n_frames]
+            f0 = decode_salience(hidden, 0.03)[:, :p_len0]
+            f0 = jnp.where((f0 >= F0_MIN) & (f0 <= F0_MAX), f0, 0.0)
+            return f0 * 2.0 ** (pitch_shift / 12.0)
+
+        def fn_conv(synth_vars, hubert_vars, audio, f0, sid, protect):
+            T = audio.shape[1]
+            p_len0 = T // WINDOW
+            feats = hubert.apply(hubert_vars, audio, output_hidden_states=True)
+            t_feat = feats.shape[1] * 2
+            if p_len0 >= t_feat:
+                f0 = f0[:, :t_feat]
+            else:
+                f0 = jnp.pad(f0, ((0, 0), (0, t_feat - p_len0)))
+            pitch = coarse_f0_jnp(f0)
+            feats_up = _upsample_protect(feats, feats, f0, protect)
+            lengths = jnp.full((audio.shape[0],), t_feat, dtype=jnp.int32)
+            wave, _ = synth.apply(synth_vars, feats_up, lengths, pitch, f0,
+                                  sid, method=synth.infer)
+            return wave[:, :, 0]
+
+        self._f0_fn = jax.jit(
+            fn_f0,
+            in_shardings=(None, batch_sh, None),
+            out_shardings=batch_sh,
+        )
+        self._conv_fn = jax.jit(
+            fn_conv,
+            in_shardings=(None, None, batch_sh, batch_sh, batch_sh, None),
+            out_shardings=batch_sh,
+        )
+
+    def convert_batch(
+        self,
+        audio_batch: np.ndarray,   # (B, T) 16 kHz, equal lengths, B % n_data == 0
+        sids: Optional[np.ndarray] = None,
+        pitch_shift: float = 0.0,
+        protect: float = 0.5,
+    ) -> np.ndarray:
+        if self._conv_fn is None:
+            self._build()
+        B, T = audio_batch.shape
+        pad = (-T) % (WINDOW * 2)
+        if pad:
+            audio_batch = np.pad(audio_batch, ((0, 0), (0, pad)))
+        audio = jax.device_put(jnp.asarray(audio_batch.astype(np.float32)),
+                               NamedSharding(self.mesh, P("data")))
+        sids = jnp.asarray(sids if sids is not None else np.zeros(B, np.int32))
+
+        f0 = self._f0_fn(self._rmvpe.variables, audio, pitch_shift)
+        out = self._conv_fn(self.rvc.pipeline.synth_variables,
+                            self.rvc.pipeline.hubert_variables,
+                            audio, f0, sids, protect)
+        return np.asarray(out)

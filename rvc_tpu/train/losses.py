@@ -61,3 +61,30 @@ def kl_loss(
 
 def mel_l1_loss(mel_real: jax.Array, mel_gen: jax.Array) -> jax.Array:
     return jnp.mean(jnp.abs(mel_real - mel_gen))
+
+
+def multi_scale_mel_loss(
+    real: jax.Array,            # (B, T) waveform
+    fake: jax.Array,            # (B, T)
+    sample_rate: int,
+    n_mels: Sequence[int] = (5, 10, 20, 40, 80, 160, 320),
+    window_lengths: Sequence[int] = (32, 64, 128, 256, 512, 1024, 2048),
+) -> jax.Array:
+    """Multi-scale log10-mel L1 (reference
+    `rvc/train/mel_processing.py:114-200`, used with RefineGAN): for each
+    (n_mels, win) pair, center STFT at hop win//4, slaney mel, log10, L1."""
+    from rvc_tpu.ops.stft import mel_filterbank, stft as stft_op
+
+    loss = 0.0
+    log10 = jnp.log(10.0)
+    for m, win in zip(n_mels, window_lengths):
+        fb = jnp.asarray(mel_filterbank(sample_rate, win, m, 0.0, None, htk=False))
+
+        def logmel(w):
+            z = stft_op(w, win, win // 4, win, center=True)
+            mag = jnp.sqrt(jnp.real(z) ** 2 + jnp.imag(z) ** 2 + 1e-6)
+            mel = jnp.einsum("btf,mf->btm", mag, fb)
+            return jnp.log(jnp.clip(mel, min=1e-5)) / log10
+
+        loss = loss + jnp.mean(jnp.abs(logmel(real) - logmel(fake)))
+    return loss
