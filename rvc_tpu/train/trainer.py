@@ -103,7 +103,11 @@ class RVCTrainer:
                 self.state = self.state._replace(d_params=d_params)
 
     # ------------------------------------------------------------------
-    def save_checkpoint(self, name: Optional[str] = None) -> str:
+    def save_checkpoint(self, name: Optional[str] = None,
+                        full_state: bool = True) -> str:
+        """Save G/D params as safetensors; with full_state also the
+        optimizer moments + step via orbax (the reference's G_/D_ .pth
+        pairs with optimizer/scaler state, `rvc/train/utils.py:34-124`)."""
         name = name or f"epoch_{self.epoch:04d}"
         gp = os.path.join(self.checkpoint_dir, f"{name}_G.safetensors")
         dp = os.path.join(self.checkpoint_dir, f"{name}_D.safetensors")
@@ -114,6 +118,18 @@ class RVCTrainer:
                     config=config_to_dict(self.cfg))
         with open(os.path.join(self.checkpoint_dir, f"{name}_state.json"), "w") as f:
             json.dump(meta, f, indent=2)
+        if full_state:
+            try:
+                import orbax.checkpoint as ocp
+
+                path = os.path.abspath(
+                    os.path.join(self.checkpoint_dir, f"{name}_opt"))
+                with ocp.StandardCheckpointer() as ckptr:
+                    ckptr.save(path, jax.device_get(
+                        {"g_opt": self.state.g_opt, "d_opt": self.state.d_opt}),
+                        force=True)
+            except Exception as e:  # params-only checkpoints still valid
+                print(f"optimizer-state save skipped: {e}")
         return gp
 
     def resume(self, name: str) -> None:
@@ -126,6 +142,21 @@ class RVCTrainer:
                 meta = json.load(f)
             self.epoch = meta.get("epoch", 0)
             self.best_loss = meta.get("best_loss", float("inf"))
+            self.state = self.state._replace(
+                step=jax.numpy.asarray(meta.get("step", 0), dtype=jax.numpy.int32))
+        opt_path = os.path.abspath(os.path.join(self.checkpoint_dir, f"{name}_opt"))
+        if os.path.isdir(opt_path):
+            try:
+                import orbax.checkpoint as ocp
+
+                with ocp.StandardCheckpointer() as ckptr:
+                    target = jax.device_get(
+                        {"g_opt": self.state.g_opt, "d_opt": self.state.d_opt})
+                    restored = ckptr.restore(opt_path, target)
+                self.state = self.state._replace(
+                    g_opt=restored["g_opt"], d_opt=restored["d_opt"])
+            except Exception as e:
+                print(f"optimizer-state restore skipped: {e}")
 
     def export_inference_model(self, path: str) -> str:
         """Final inference weights: enc_q stripped, config sidecar

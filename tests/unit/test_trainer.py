@@ -1,0 +1,83 @@
+"""Trainer loop: epoch training on a synthetic dataset, checkpoint
+save/resume round trip with optimizer state, export."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from rvc_tpu.configs import get_config
+from rvc_tpu.train.data import DataLoader, RVCDataset
+from rvc_tpu.train.trainer import RVCTrainer
+
+
+class FakeDataset(RVCDataset):
+    """In-memory dataset: overrides file loading."""
+
+    def __init__(self, n, T, cfg, seed=0):
+        self.rows = [{"n_frames": T, "sid": 0} for _ in range(n)]
+        self.hop_length = cfg.data.hop_length
+        self._cfg = cfg
+        self._T = T
+        self._rng = np.random.default_rng(seed)
+        self._cache = {}
+
+    def __getitem__(self, i):
+        if i not in self._cache:
+            T, cfg = self._T, self._cfg
+            r = self._rng
+            self._cache[i] = dict(
+                phone=r.standard_normal((T, 768)).astype(np.float32),
+                pitch=r.integers(1, 255, T).astype(np.int32),
+                pitchf=np.full(T, 180.0, np.float32),
+                spec=r.standard_normal((T, cfg.data.spec_channels)).astype(np.float32),
+                wave=(0.1 * r.standard_normal(T * cfg.data.hop_length)).astype(np.float32),
+                sid=0, length=T)
+        return self._cache[i]
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    cfg = get_config(32000, model_spk_embed_dim=2, model_n_layers=1,
+                     model_upsample_initial_channel=64,
+                     train_segment_size=320 * 12, train_batch_size=2)
+    ds = FakeDataset(4, 50, cfg)
+    loader = DataLoader(ds, batch_size=2, drop_last=True)
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    return cfg, loader, ckpt
+
+
+@pytest.mark.slow
+def test_trainer_epochs_and_checkpoint(tiny_setup):
+    cfg, loader, ckpt = tiny_setup
+    tr = RVCTrainer(cfg, loader, checkpoint_dir=ckpt, seed=0)
+    result = tr.train(epochs=2, save_every=1, warmup_epochs=1)
+    assert result["epochs_run"] == 2
+    # warmup epoch non-adversarial, second adversarial
+    assert result["history"][0]["adversarial"] is False
+    assert result["history"][1]["adversarial"] is True
+    assert os.path.exists(os.path.join(ckpt, "last_G.safetensors"))
+    assert os.path.exists(os.path.join(ckpt, "train_log.jsonl"))
+
+    # resume restores epoch + params + optimizer state
+    tr2 = RVCTrainer(cfg, loader, checkpoint_dir=ckpt, seed=1)
+    tr2.resume("last")
+    assert tr2.epoch == tr.epoch
+    g1 = jax.device_get(tr.state.g_params)
+    g2 = jax.device_get(tr2.state.g_params)
+    leaf1 = g1["emb_g"]["weight"]
+    leaf2 = g2["emb_g"]["weight"]
+    np.testing.assert_allclose(leaf1, leaf2, atol=1e-6)
+
+    # inference export drops enc_q
+    out = tr.export_inference_model(os.path.join(ckpt, "final.safetensors"))
+    from rvc_tpu.utils.weights import load_params
+
+    params = load_params(out)
+    assert "enc_q" not in params
+    assert "enc_p" in params and "dec" in params
+    with open(os.path.join(ckpt, "final.json")) as f:
+        side = json.load(f)
+    assert side["data"]["sample_rate"] == 32000
