@@ -208,6 +208,33 @@ class Pipeline:
             self.pitch_extractor = PitchExtractor("rmvpe")
         return self.pitch_extractor._model
 
+    def _get_frozen(self, use_index: bool, rmvpe):
+        """Serving-mode programs: weights baked into the executables as
+        constants, so each dispatch ships only the audio + scalars. On a
+        remote-dispatch link (tunneled TPU) per-call marshalling of ~600
+        weight handles dominates latency; freezing removes it."""
+        key = ("frozen", use_index)
+        if key not in self._fused:
+            fn_f0 = self._build_f0_program()
+            fn_conv = self._build_fused(use_index)
+            rv, sv, hv = rmvpe.variables, self.synth_variables, self.hubert_variables
+            if use_index:
+                f0_frozen = jax.jit(
+                    lambda audio, ps, ats: fn_f0(rv, audio, ps, ats))
+                conv_frozen = jax.jit(
+                    lambda audio, f0, sid, p_len, prot, ir, idx_arrays, nprobe:
+                    fn_conv(sv, hv, audio, f0, sid, p_len, prot, ir,
+                            idx_arrays, nprobe=nprobe),
+                    static_argnames=("nprobe",))
+            else:
+                f0_frozen = jax.jit(
+                    lambda audio, ps, ats: fn_f0(rv, audio, ps, ats))
+                conv_frozen = jax.jit(
+                    lambda audio, f0, sid, p_len, prot:
+                    fn_conv(sv, hv, audio, f0, sid, p_len, prot, 0.0))
+            self._fused[key] = (f0_frozen, conv_frozen)
+        return self._fused[key]
+
     def fused_convert(
         self,
         audio0: np.ndarray,
@@ -228,30 +255,26 @@ class Pipeline:
             mode="reflect" if n_pad - n < n else "constant"))[None]
 
         use_index = index is not None and index_rate > 0
-        if "f0" not in self._fused:
-            self._fused["f0"] = self._build_f0_program()
-        if use_index not in self._fused:
-            self._fused[use_index] = self._build_fused(use_index)
-        fn_f0 = self._fused["f0"]
-        fn = self._fused[use_index]
+        fn_f0, fn_conv = self._get_frozen(use_index, rmvpe)
         # true frame count of the unpadded chunk, capped at the feature grid
         hub_frames = (n_pad - 400) // 320 + 1
         p_len = min(n // self.window, 2 * hub_frames)
         p_len_j = jnp.array([p_len])
 
-        f0 = fn_f0(rmvpe.variables, audio, pitch_shift, autotune_strength)
+        f0 = fn_f0(audio, pitch_shift, autotune_strength)
         if use_index:
             v, v_sq, lids, cents = index._dev()
-            out = fn(self.synth_variables, self.hubert_variables,
-                     audio, f0, jnp.array([sid]), p_len_j,
-                     protect, index_rate,
-                     (v, v_sq, lids, cents), nprobe=index.nprobe)
+            out = fn_conv(audio, f0, jnp.array([sid]), p_len_j,
+                          protect, index_rate,
+                          (v, v_sq, lids, cents), nprobe=index.nprobe)
         else:
-            out = fn(self.synth_variables, self.hubert_variables,
-                     audio, f0, jnp.array([sid]), p_len_j,
-                     protect, 0.0)
+            out = fn_conv(audio, f0, jnp.array([sid]), p_len_j, protect)
         out = np.asarray(out[0])
         return out[: p_len * (self.tgt_sr // 100)]
+
+    def refresh(self) -> None:
+        """Drop cached compiled programs (call after swapping weights)."""
+        self._fused.clear()
 
     # ------------------------------------------------------------------
     def get_f0(
