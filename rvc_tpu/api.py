@@ -152,18 +152,73 @@ class RVC:
         f0_autotune: bool = False,
         f0_autotune_strength: float = 1.0,
         pitch_guidance: bool = True,
+        input_f0: Optional[np.ndarray] = None,
+        split_audio: bool = False,
+        clean_audio: bool = False,
+        clean_strength: float = 0.5,
+        formant_shifting: bool = False,
+        formant_qfrency: float = 1.0,
+        formant_timbre: float = 1.0,
+        post_process: bool = False,
+        **fx_kwargs,
     ) -> np.ndarray:
-        """16 kHz mono float array -> converted audio at the model's sr."""
-        return self.pipeline.pipeline(
-            audio_16k, sid=sid, pitch_shift=pitch, f0_method=f0_method,
-            index=self.index, index_rate=index_rate if self.index else 0.0,
-            pitch_guidance=pitch_guidance and self.cfg.model.use_f0,
-            volume_envelope=volume_envelope, protect=protect,
-            f0_autotune=f0_autotune, f0_autotune_strength=f0_autotune_strength,
-        )
+        """16 kHz mono float array -> converted audio at the model's sr.
 
-    def infer_file(self, audio_input: str, audio_output: str, **kwargs) -> str:
+        Full VoiceConverter surface (`rvc/infer/infer.py:193-218`):
+        silence-splitting, formant shift, noise reduction, post-FX.
+        """
+        audio_16k = np.asarray(audio_16k, dtype=np.float32)
+        if formant_shifting and formant_timbre != 1.0:
+            from rvc_tpu.utils.formant import formant_shift
+
+            audio_16k = formant_shift(audio_16k, 16000,
+                                      formant_qfrency, formant_timbre)
+
+        def convert(a):
+            return self.pipeline.pipeline(
+                a, sid=sid, pitch_shift=pitch, f0_method=f0_method,
+                index=self.index, index_rate=index_rate if self.index else 0.0,
+                pitch_guidance=pitch_guidance and self.cfg.model.use_f0,
+                volume_envelope=volume_envelope, protect=protect,
+                f0_autotune=f0_autotune,
+                f0_autotune_strength=f0_autotune_strength,
+                input_f0=input_f0,
+            )
+
+        if split_audio:
+            from rvc_tpu.utils.split_audio import merge_audio, split_silence_nonsilent
+
+            intervals, segs = split_silence_nonsilent(audio_16k, 16000)
+            converted = [convert(s) for s in segs]
+            out = merge_audio(intervals, converted, len(audio_16k),
+                              16000, self.cfg.data.sample_rate)
+        else:
+            out = convert(audio_16k)
+
+        if clean_audio:
+            from rvc_tpu.utils.noise import reduce_noise
+
+            out = reduce_noise(out, self.cfg.data.sample_rate, clean_strength)
+        if post_process:
+            from rvc_tpu.realtime.fx import build_fx_chain
+
+            out = build_fx_chain(**fx_kwargs)(out, self.cfg.data.sample_rate)
+        return out
+
+    def infer_file(self, audio_input: str, audio_output: str,
+                   export_format: str = "WAV", **kwargs) -> str:
         audio = audio_utils.load_audio(audio_input, 16000)
         out = self.infer(audio, **kwargs)
+        if export_format.upper() != "WAV":
+            # non-WAV export needs soundfile; fall back to wav with a note
+            try:
+                import soundfile as sf
+
+                path = os.path.splitext(audio_output)[0] + "." + export_format.lower()
+                sf.write(path, out, self.cfg.data.sample_rate,
+                         format=export_format.upper())
+                return path
+            except ImportError:
+                pass
         audio_utils.save_wav(audio_output, out, self.cfg.data.sample_rate)
         return audio_output
