@@ -255,20 +255,40 @@ class Pipeline:
             mode="reflect" if n_pad - n < n else "constant"))[None]
 
         use_index = index is not None and index_rate > 0
-        fn_f0, fn_conv = self._get_frozen(use_index, rmvpe)
         # true frame count of the unpadded chunk, capped at the feature grid
         hub_frames = (n_pad - 400) // 320 + 1
         p_len = min(n // self.window, 2 * hub_frames)
         p_len_j = jnp.array([p_len])
 
-        f0 = fn_f0(audio, pitch_shift, autotune_strength)
-        if use_index:
-            v, v_sq, lids, cents = index._dev()
-            out = fn_conv(audio, f0, jnp.array([sid]), p_len_j,
-                          protect, index_rate,
-                          (v, v_sq, lids, cents), nprobe=index.nprobe)
+        import os as _os
+
+        if _os.environ.get("RVC_TPU_FREEZE", "0") == "1":
+            # serving mode: weights baked as constants (lowest dispatch
+            # latency, but much longer first compile — opt-in)
+            fn_f0, fn_conv = self._get_frozen(use_index, rmvpe)
+            f0 = fn_f0(audio, pitch_shift, autotune_strength)
+            if use_index:
+                out = fn_conv(audio, f0, jnp.array([sid]), p_len_j,
+                              protect, index_rate, index._dev(),
+                              nprobe=index.nprobe)
+            else:
+                out = fn_conv(audio, f0, jnp.array([sid]), p_len_j, protect)
         else:
-            out = fn_conv(audio, f0, jnp.array([sid]), p_len_j, protect)
+            if "f0" not in self._fused:
+                self._fused["f0"] = self._build_f0_program()
+            if use_index not in self._fused:
+                self._fused[use_index] = self._build_fused(use_index)
+            f0 = self._fused["f0"](rmvpe.variables, audio, pitch_shift,
+                                   autotune_strength)
+            if use_index:
+                out = self._fused[use_index](
+                    self.synth_variables, self.hubert_variables, audio, f0,
+                    jnp.array([sid]), p_len_j, protect, index_rate,
+                    index._dev(), nprobe=index.nprobe)
+            else:
+                out = self._fused[use_index](
+                    self.synth_variables, self.hubert_variables, audio, f0,
+                    jnp.array([sid]), p_len_j, protect, 0.0)
         out = np.asarray(out[0])
         return out[: p_len * (self.tgt_sr // 100)]
 

@@ -1,0 +1,114 @@
+"""Realtime serving surface: audio-device streaming and a socket server.
+
+Capability parity with `rvc_mlx/realtime/audio.py` (sounddevice stream +
+callback + queue) and `rvc_mlx/realtime/client.py` (WebSocket endpoint).
+Device streaming uses sounddevice when installed; the network path is a
+dependency-free asyncio TCP server speaking a simple length-prefixed
+float32 frame protocol (works from any client without FastAPI/websockets).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import queue
+import struct
+import threading
+from typing import Callable, Optional
+
+import numpy as np
+
+try:
+    import sounddevice as sd
+
+    _HAS_SD = True
+except Exception:
+    sd = None
+    _HAS_SD = False
+
+
+class AudioDeviceStream:
+    """Microphone -> VoiceChanger -> speakers loop (sounddevice-backed)."""
+
+    def __init__(self, voice_changer, sample_rate: int = 48000,
+                 block_size: Optional[int] = None, **convert_kwargs):
+        if not _HAS_SD:
+            raise RuntimeError(
+                "sounddevice is not installed; use RealtimeSocketServer or "
+                "drive VoiceChanger.on_request directly")
+        self.vc = voice_changer
+        self.sample_rate = sample_rate
+        self.block_size = block_size or voice_changer.block_frame
+        self.convert_kwargs = convert_kwargs
+        self._queue: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=8)
+        self._stream = None
+
+    def _callback(self, indata, outdata, frames, time_info, status):
+        mono = indata.mean(axis=1).astype(np.float32)
+        out, vol, _ = self.vc.on_request(mono, **self.convert_kwargs)
+        outdata[:, 0] = out[: len(outdata)]
+        if outdata.shape[1] > 1:
+            outdata[:, 1:] = outdata[:, :1]
+
+    def start(self):
+        self._stream = sd.Stream(
+            samplerate=self.sample_rate, blocksize=self.block_size,
+            channels=(1, 2), dtype="float32", callback=self._callback)
+        self._stream.start()
+
+    def stop(self):
+        if self._stream is not None:
+            self._stream.stop()
+            self._stream.close()
+            self._stream = None
+
+    @staticmethod
+    def list_devices():
+        return sd.query_devices() if _HAS_SD else []
+
+
+class RealtimeSocketServer:
+    """Length-prefixed float32 frame server.
+
+    Wire format per message (both directions):
+        uint32 little-endian byte length | float32[] samples @48 kHz
+    Each inbound block is converted through the VoiceChanger and the
+    converted block is written back.
+    """
+
+    def __init__(self, voice_changer, host: str = "127.0.0.1",
+                 port: int = 6006, **convert_kwargs):
+        self.vc = voice_changer
+        self.host = host
+        self.port = port
+        self.convert_kwargs = convert_kwargs
+        self._server = None
+
+    async def _handle(self, reader: asyncio.StreamReader,
+                      writer: asyncio.StreamWriter):
+        try:
+            while True:
+                hdr = await reader.readexactly(4)
+                (nbytes,) = struct.unpack("<I", hdr)
+                if nbytes == 0 or nbytes > 1 << 24:
+                    break
+                payload = await reader.readexactly(nbytes)
+                block = np.frombuffer(payload, dtype="<f4")
+                out, vol, timings = self.vc.on_request(
+                    block.copy(), **self.convert_kwargs)
+                data = out.astype("<f4").tobytes()
+                writer.write(struct.pack("<I", len(data)) + data)
+                await writer.drain()
+        except (asyncio.IncompleteReadError, ConnectionResetError):
+            pass
+        finally:
+            writer.close()
+
+    async def serve(self):
+        self._server = await asyncio.start_server(self._handle, self.host, self.port)
+        async with self._server:
+            await self._server.serve_forever()
+
+    def serve_in_thread(self) -> threading.Thread:
+        t = threading.Thread(target=lambda: asyncio.run(self.serve()), daemon=True)
+        t.start()
+        return t

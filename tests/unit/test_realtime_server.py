@@ -1,0 +1,47 @@
+"""Socket server protocol round trip with a stub converter."""
+
+import socket
+import struct
+import time
+
+import numpy as np
+
+
+class StubVC:
+    block_frame = 1024
+
+    def on_request(self, block, **kw):
+        return block * 0.5, 0.1, [0, 1.0, 0]
+
+
+def test_socket_server_roundtrip():
+    from rvc_tpu.realtime.server import RealtimeSocketServer
+
+    srv = RealtimeSocketServer(StubVC(), port=0)  # port 0: pick free
+    # need the actual port: start manually
+    import asyncio
+
+    async def run_once():
+        server = await asyncio.start_server(srv._handle, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+
+        def client():
+            s = socket.create_connection(("127.0.0.1", port), timeout=5)
+            data = np.arange(8, dtype="<f4").tobytes()
+            s.sendall(struct.pack("<I", len(data)) + data)
+            hdr = s.recv(4)
+            (n,) = struct.unpack("<I", hdr)
+            buf = b""
+            while len(buf) < n:
+                buf += s.recv(n - len(buf))
+            s.close()
+            return np.frombuffer(buf, dtype="<f4")
+
+        loop = asyncio.get_event_loop()
+        result = await loop.run_in_executor(None, client)
+        server.close()
+        await server.wait_closed()
+        return result
+
+    out = asyncio.run(run_once())
+    np.testing.assert_allclose(out, np.arange(8) * 0.5, atol=1e-6)
