@@ -180,11 +180,21 @@ class VoiceChanger:
             audio = np.pad(audio, (0, min_len - audio.shape[0]))
 
         conv_input = audio[: self.crossfade_frame + self.sola_search_frame]
-        cor_nom = sp_signal.correlate(conv_input, self.sola_buffer, mode="valid")
-        cor_den = np.sqrt(
-            sp_signal.correlate(conv_input ** 2, np.ones(self.crossfade_frame),
-                                mode="valid") + 1e-8)
-        sola_offset = int(np.argmax(cor_nom / cor_den))
+        try:
+            from rvc_tpu import native
+
+            off = native.sola_align(conv_input, self.sola_buffer,
+                                    self.sola_search_frame)
+        except Exception:
+            off = None
+        if off is not None:
+            sola_offset = off
+        else:
+            cor_nom = sp_signal.correlate(conv_input, self.sola_buffer, mode="valid")
+            cor_den = np.sqrt(
+                sp_signal.correlate(conv_input ** 2, np.ones(self.crossfade_frame),
+                                    mode="valid") + 1e-8)
+            sola_offset = int(np.argmax(cor_nom / cor_den))
 
         audio = audio[sola_offset:].copy()
         if audio.shape[0] < self.crossfade_frame:

@@ -77,6 +77,19 @@ def _read_index_header(r: _Reader) -> Tuple[int, int, bool, int]:
 
 
 def read_faiss_index(path: str) -> IVFFlatIndex:
+    # fast path: native mmap parser (rvc_tpu/native) — memory-bandwidth
+    # parsing for large indices; fall through to the Python parser on
+    # any failure.
+    try:
+        from rvc_tpu import native
+
+        parsed = native.faiss_ivf_read(path)
+        if parsed is not None:
+            centroids, vectors, list_ids, nprobe, metric = parsed
+            return IVFFlatIndex(centroids=centroids, vectors=vectors,
+                                list_ids=list_ids, nprobe=nprobe, metric=metric)
+    except Exception:
+        pass
     with open(path, "rb") as f:
         data = f.read()
     r = _Reader(data)
