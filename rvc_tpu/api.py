@@ -153,6 +153,8 @@ class RVC:
         f0_autotune_strength: float = 1.0,
         pitch_guidance: bool = True,
         input_f0: Optional[np.ndarray] = None,
+        proposed_pitch: bool = False,
+        proposed_pitch_threshold: float = 155.0,
         split_audio: bool = False,
         clean_audio: bool = False,
         clean_strength: float = 0.5,
@@ -183,6 +185,8 @@ class RVC:
                 f0_autotune=f0_autotune,
                 f0_autotune_strength=f0_autotune_strength,
                 input_f0=input_f0,
+                proposed_pitch=proposed_pitch,
+                proposed_pitch_threshold=proposed_pitch_threshold,
             )
 
         if split_audio:

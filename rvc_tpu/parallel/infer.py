@@ -113,3 +113,59 @@ class BatchConverter:
                             self.rvc.pipeline.hubert_variables,
                             audio, f0, sids, protect)
         return np.asarray(out)
+
+    def convert_long_batch(
+        self,
+        utterances,                 # list of (T_i,) 16 kHz arrays
+        sids=None,
+        chunk_seconds: float = 10.0,
+        pad_seconds: float = 1.0,
+        **kwargs,
+    ):
+        """Batched long-form conversion (BASELINE config 5): every
+        utterance splits into fixed chunks with reflect-pad context, ALL
+        chunks across ALL utterances convert as data-parallel batches,
+        and each utterance reassembles from its trimmed chunks."""
+        sr = SAMPLE_RATE
+        chunk = int(chunk_seconds * sr)
+        pad = int(pad_seconds * sr)
+        tgt_per_in = self.rvc.cfg.data.sample_rate / sr
+
+        jobs = []  # (utt_idx, chunk_idx, padded_chunk)
+        for ui, utt in enumerate(utterances):
+            utt = np.asarray(utt, dtype=np.float32)
+            up = np.pad(utt, (pad, pad), mode="reflect")
+            n_chunks = max(1, int(np.ceil(len(utt) / chunk)))
+            for ci in range(n_chunks):
+                s = ci * chunk
+                seg = up[s : s + chunk + 2 * pad]
+                if len(seg) < chunk + 2 * pad:
+                    seg = np.pad(seg, (0, chunk + 2 * pad - len(seg)))
+                jobs.append((ui, ci, seg))
+
+        n_data = self.mesh.shape["data"]
+        sid_arr = np.asarray(sids if sids is not None
+                             else np.zeros(len(utterances), np.int32))
+        outs = {}
+        for bstart in range(0, len(jobs), max(n_data, 1)):
+            group = jobs[bstart : bstart + n_data]
+            while len(group) < n_data:  # pad the last batch
+                group.append(group[-1])
+            batch = np.stack([g[2] for g in group])
+            bs = np.asarray([sid_arr[g[0]] for g in group], np.int32)
+            conv = self.convert_batch(batch, bs, **kwargs)
+            for g, c in zip(jobs[bstart : bstart + n_data], conv):
+                outs[(g[0], g[1])] = c
+
+        pad_tgt = int(pad * tgt_per_in)
+        chunk_tgt = int(chunk * tgt_per_in)
+        results = []
+        for ui, utt in enumerate(utterances):
+            n_chunks = max(1, int(np.ceil(len(utt) / chunk)))
+            pieces = []
+            for ci in range(n_chunks):
+                c = outs[(ui, ci)]
+                pieces.append(c[pad_tgt : pad_tgt + chunk_tgt])
+            full = np.concatenate(pieces)[: int(len(utt) * tgt_per_in)]
+            results.append(full)
+        return results

@@ -306,6 +306,8 @@ class Pipeline:
         f0_autotune: bool = False,
         f0_autotune_strength: float = 1.0,
         input_f0: Optional[np.ndarray] = None,
+        proposed_pitch: bool = False,
+        proposed_pitch_threshold: float = 155.0,
     ):
         """x (T,) 16 kHz -> (coarse (p_len,), continuous (p_len,))."""
         if input_f0 is not None:
@@ -316,6 +318,19 @@ class Pipeline:
             f0 = self.pitch_extractor.extract(x, F0_MIN, F0_MAX)
         if f0_autotune:
             f0 = autotune_f0(f0, f0_autotune_strength)
+        elif proposed_pitch:
+            # auto-shift so the median voiced f0 lands near the target
+            # (`rvc/infer/pipeline.py:251-277`), clamped to +-12 semitones
+            valid = np.where(f0 > 0)[0]
+            up_key = 0
+            if len(valid) >= 2:
+                median_f0 = float(np.median(
+                    np.interp(np.arange(len(f0)), valid, f0[valid])))
+                if median_f0 > 0 and not np.isnan(median_f0):
+                    up_key = int(np.clip(
+                        np.round(12 * np.log2(proposed_pitch_threshold / median_f0)),
+                        -12, 12))
+            pitch_shift = pitch_shift + up_key
         f0 = f0 * (2.0 ** (pitch_shift / 12.0))
         if len(f0) < p_len:
             f0 = np.pad(f0, (0, p_len - len(f0)))
@@ -408,6 +423,8 @@ class Pipeline:
         f0_autotune: bool = False,
         f0_autotune_strength: float = 1.0,
         input_f0: Optional[np.ndarray] = None,
+        proposed_pitch: bool = False,
+        proposed_pitch_threshold: float = 155.0,
     ) -> np.ndarray:
         """Full conversion: 16 kHz mono float -> target-sr waveform."""
         audio = np.asarray(audio, dtype=np.float32)
@@ -432,7 +449,8 @@ class Pipeline:
         # fused single-program fast path: RMVPE pitch guidance without a
         # user-supplied f0 curve (everything else uses the staged path)
         fused_ok = (pitch_guidance and f0_method == "rmvpe"
-                    and input_f0 is None and self.cfg_use_f0)
+                    and input_f0 is None and not proposed_pitch
+                    and self.cfg_use_f0)
         out_chunks = []
         for (s, e) in bounds:
             # chunk with t_pad context on both sides (positions shift by +t_pad)
@@ -447,7 +465,8 @@ class Pipeline:
                 if pitch_guidance:
                     pitch, pitchf = self.get_f0(
                         chunk, p_len, f0_method, pitch_shift,
-                        f0_autotune, f0_autotune_strength, input_f0)
+                        f0_autotune, f0_autotune_strength, input_f0,
+                        proposed_pitch, proposed_pitch_threshold)
                 else:
                     pitch = pitchf = None
                 conv = self.voice_conversion(

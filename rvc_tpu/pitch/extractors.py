@@ -34,6 +34,22 @@ class PitchExtractor:
         *,
         model=None,
     ):
+        # hybrid[a+b+...] combines methods by the per-frame median of the
+        # voiced estimates — the reference's CLI declares these choices
+        # but never implemented them (`rvc_cli.py:678-691` vs
+        # `rvc/infer/pipeline.py:223-246`); here they actually work.
+        if method.startswith("hybrid[") and method.endswith("]"):
+            subs = method[len("hybrid["):-1].split("+")
+            for s in subs:
+                if s not in self.METHODS:
+                    raise ValueError(f"unknown hybrid component {s!r}")
+            self.method = method
+            self.sample_rate = sample_rate
+            self.hop_size = hop_size
+            self._sub = [PitchExtractor(s, sample_rate, hop_size) for s in subs]
+            self._model = None
+            return
+        self._sub = None
         if method not in self.METHODS:
             raise ValueError(f"unknown pitch method {method!r}; choose from {self.METHODS}")
         self.method = method
@@ -71,6 +87,20 @@ class PitchExtractor:
     ) -> np.ndarray:
         """audio (T,) @16 kHz -> per-frame f0 (hop 160), 0 = unvoiced."""
         audio = np.asarray(audio, dtype=np.float32)
+        if self._sub is not None:
+            ests = [s.extract(audio, f0_min, f0_max) for s in self._sub]
+            n = min(len(e) for e in ests)
+            stack = np.stack([e[:n] for e in ests])  # (M, n)
+            voiced = stack > 0
+            n_voiced = voiced.sum(axis=0)
+            med = np.zeros(n, dtype=np.float32)
+            vals = np.where(voiced, stack, np.nan)
+            with np.errstate(all="ignore"):
+                med_all = np.nanmedian(vals, axis=0)
+            # a frame counts as voiced when a majority of methods agree
+            maj = n_voiced >= (len(ests) + 1) // 2
+            med[maj] = med_all[maj]
+            return med
         m = self.method
         if m == "rmvpe" or (m == "fcpe" and self._model.__class__.__name__ == "RMVPE"):
             f0 = np.asarray(self._model.infer_from_audio(audio, thred=0.03))

@@ -17,8 +17,12 @@ from rvc_tpu.utils.weights import convert_fcpe_state_dict
 @pytest.fixture(scope="module")
 def torch_fcpe():
     # stub the unavailable deps (unused when local_heads=0)
+    import importlib.machinery as _mach
+
     ta = types.ModuleType("torchaudio")
+    ta.__spec__ = _mach.ModuleSpec("torchaudio", None)
     ta_t = types.ModuleType("torchaudio.transforms")
+    ta_t.__spec__ = _mach.ModuleSpec("torchaudio.transforms", None)
     ta_t.Resample = object
     ta.transforms = ta_t
     sys.modules["torchaudio"] = ta
@@ -27,11 +31,16 @@ def torch_fcpe():
     la.LocalAttention = object
     sys.modules.setdefault("local_attention", la)
     sf = types.ModuleType("soundfile")
+    sf.__spec__ = _mach.ModuleSpec("soundfile", None)
     sys.modules.setdefault("soundfile", sf)
     import rvc_tpu.ops.stft as stft_ops
 
+    import importlib.machinery
+
     lib = types.ModuleType("librosa")
+    lib.__spec__ = importlib.machinery.ModuleSpec("librosa", None)
     filt = types.ModuleType("librosa.filters")
+    filt.__spec__ = importlib.machinery.ModuleSpec("librosa.filters", None)
     filt.mel = lambda *, sr, n_fft, n_mels, fmin=0.0, fmax=None, htk=False: (
         stft_ops.mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk=htk))
     lib.filters = filt

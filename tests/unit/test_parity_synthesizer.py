@@ -26,7 +26,11 @@ REF = "/root/reference"
 
 @pytest.fixture(scope="module")
 def ref_modules():
-    sys.modules.setdefault("torchaudio", types.ModuleType("torchaudio"))
+    import importlib.machinery as _mach
+
+    _ta = types.ModuleType("torchaudio")
+    _ta.__spec__ = _mach.ModuleSpec("torchaudio", None)
+    sys.modules.setdefault("torchaudio", _ta)
     if REF not in sys.path:
         sys.path.insert(0, REF)
     from rvc.lib.algorithm.synthesizers import Synthesizer as TorchSynth

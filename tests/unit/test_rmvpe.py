@@ -19,8 +19,12 @@ from rvc_tpu.utils.weights import convert_rmvpe_state_dict
 
 @pytest.fixture(scope="module")
 def torch_e2e():
+    import importlib.machinery
+
     lib = types.ModuleType("librosa")
+    lib.__spec__ = importlib.machinery.ModuleSpec("librosa", None)
     filt = types.ModuleType("librosa.filters")
+    filt.__spec__ = importlib.machinery.ModuleSpec("librosa.filters", None)
     filt.mel = lambda *, sr, n_fft, n_mels, fmin=0.0, fmax=None, htk=False: (
         stft_ops.mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk=htk))
     lib.filters = filt
