@@ -142,16 +142,27 @@ class Pipeline:
     # synthesizer. Audio uploads once, the waveform downloads once, and
     # each program stays small enough to compile (and persist-cache) fast.
     def _build_f0_program(self):
+        import os as _os
+
         from rvc_tpu.models.rmvpe import decode_salience
         from rvc_tpu.ops.stft import log_mel_spectrogram
 
         rmvpe_model = self._rmvpe_model
+        use_pallas = _os.environ.get("RVC_TPU_PALLAS_MEL", "0") == "1"
 
         def fn_f0(rmvpe_vars, audio, pitch_shift, autotune_strength):
             T = audio.shape[1]
             p_len0 = T // WINDOW
-            mel = log_mel_spectrogram(audio, 1024, 128, SAMPLE_RATE, WINDOW,
-                                      1024, fmin=30, fmax=8000, htk=True)
+            if use_pallas:
+                # fused matmul-DFT mel kernel (~1.7x the XLA FFT path on
+                # v5e; bf16 MXU rounding costs ~1e-2 log-mel accuracy)
+                from rvc_tpu.ops.pallas.melspec import pallas_log_mel
+
+                mel = pallas_log_mel(audio, 1024, WINDOW, 128, SAMPLE_RATE,
+                                     30.0, 8000.0, htk=True)
+            else:
+                mel = log_mel_spectrogram(audio, 1024, 128, SAMPLE_RATE, WINDOW,
+                                          1024, fmin=30, fmax=8000, htk=True)
             n_frames = mel.shape[1]
             pad = 32 * ((n_frames - 1) // 32 + 1) - n_frames
             melp = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)), mode="reflect") if pad else mel
