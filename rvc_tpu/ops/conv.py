@@ -52,11 +52,11 @@ def conv1d(
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
-        preferred_element_type=x.dtype,
+        preferred_element_type=jnp.float32,
     )
     if b is not None:
         out = out + b
-    return out
+    return out.astype(x.dtype)
 
 
 def conv_transpose1d(
@@ -84,11 +84,11 @@ def conv_transpose1d(
         padding=[(lo, hi)],
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=x.dtype,
+        preferred_element_type=jnp.float32,
     )
     if b is not None:
         out = out + b
-    return out
+    return out.astype(x.dtype)
 
 
 def conv2d(
@@ -115,11 +115,11 @@ def conv2d(
         rhs_dilation=_pair(dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=x.dtype,
+        preferred_element_type=jnp.float32,
     )
     if b is not None:
         out = out + b
-    return out
+    return out.astype(x.dtype)
 
 
 def conv_transpose2d(
@@ -145,11 +145,11 @@ def conv_transpose2d(
         padding=[(kh - 1 - ph, kh - 1 - ph + oh), (kw - 1 - pw, kw - 1 - pw + ow)],
         lhs_dilation=_pair(stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype,
+        preferred_element_type=jnp.float32,
     )
     if b is not None:
         out = out + b
-    return out
+    return out.astype(x.dtype)
 
 
 def get_same_padding(kernel_size: int, dilation: int = 1) -> int:

@@ -69,6 +69,56 @@ class DatasetBuilder:
                 f.write("|".join([r["audio"], r["features"], r["f0"],
                                   r["f0_coarse"], str(r["sid"]), r["spec"]]) + "\n")
 
+    def add_mutes(self, cfg, include_mutes: int = 2,
+                  feature_extractor=None) -> List[dict]:
+        """Append `include_mutes` mute samples per speaker (reference
+        `preparing_files.py:58-67`, which ships pre-made mute assets —
+        ours are generated in place: 3 s of silence run through the same
+        feature extraction)."""
+        import numpy as np
+
+        from rvc_tpu.utils import audio as audio_utils
+
+        rows = self.collect()
+        sids = sorted({r["sid"] for r in rows}) or [0]
+
+        mute_dir = os.path.join(self.exp_dir, "mute")
+        os.makedirs(mute_dir, exist_ok=True)
+        name = "mute"
+        gt = os.path.join(mute_dir, f"{name}.wav")
+        g16 = os.path.join(mute_dir, f"{name}_16k.wav")
+        if not os.path.exists(gt):
+            sr = cfg.data.sample_rate
+            audio_utils.save_wav(gt, np.zeros(3 * sr, np.float32), sr, "FLOAT")
+            audio_utils.save_wav(g16, np.zeros(3 * 16000, np.float32), 16000, "FLOAT")
+        feats_p = os.path.join(mute_dir, "features.npy")
+        if not os.path.exists(feats_p):
+            if feature_extractor is None:
+                from rvc_tpu.preprocess.features import FeatureExtractor
+
+                feature_extractor = FeatureExtractor(mute_dir, cfg)
+            out = feature_extractor.process_pair(name, g16, gt)
+            os.replace(out["features"], feats_p)
+            os.replace(out["f0"], os.path.join(mute_dir, "f0_coarse.npy"))
+            os.replace(out["f0_voiced"], os.path.join(mute_dir, "f0.npy"))
+            os.replace(out["spec"], os.path.join(mute_dir, "spec.npy"))
+
+        import numpy as _np
+
+        n_frames = int(_np.load(os.path.join(mute_dir, "spec.npy"),
+                                mmap_mode="r").shape[0])
+        mute_rows = []
+        for sid in sids * include_mutes:
+            mute_rows.append({
+                "audio": gt,
+                "features": feats_p,
+                "f0": os.path.join(mute_dir, "f0.npy"),
+                "f0_coarse": os.path.join(mute_dir, "f0_coarse.npy"),
+                "spec": os.path.join(mute_dir, "spec.npy"),
+                "sid": sid, "n_frames": n_frames,
+            })
+        return mute_rows
+
     @staticmethod
     def read_filelist(path: str) -> List[dict]:
         rows = []

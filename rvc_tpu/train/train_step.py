@@ -124,8 +124,12 @@ def make_train_step(
     net_d: MultiPeriodDiscriminator,
     steps_per_epoch: int = 100,
     adversarial: bool = True,
+    freeze_encoder: bool = False,
 ):
-    """Build the jitted (state, batch, rng) -> (state, metrics) update."""
+    """Build the jitted (state, batch, rng) -> (state, metrics) update.
+
+    freeze_encoder zeroes enc_p gradients (the reference's finetuning
+    freeze, `rvc_mlx/train/trainer.py:216-221`)."""
     g_tx, d_tx = make_optimizers(cfg, steps_per_epoch)
     hop = cfg.data.hop_length
     seg_frames = cfg.segment_frames
@@ -177,6 +181,9 @@ def make_train_step(
         (g_total, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             state.g_params, state.d_params, batch, rng_g)
         g_grads = sanitize_grads(g_grads)
+        if freeze_encoder and "enc_p" in g_grads:
+            g_grads = dict(g_grads)
+            g_grads["enc_p"] = jax.tree.map(jnp.zeros_like, g_grads["enc_p"])
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 

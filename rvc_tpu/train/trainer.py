@@ -37,6 +37,7 @@ class RVCTrainer:
         use_overtraining_detector: bool = False,
         overtraining_threshold: int = 50,
         mesh=None,
+        freeze_encoder: bool = False,
     ):
         self.cfg = cfg
         self.train_loader = train_loader
@@ -50,8 +51,10 @@ class RVCTrainer:
             cfg, jax.random.PRNGKey(seed), steps_per_epoch)
         self._steps_per_epoch = steps_per_epoch
         self._step_fns = {}
+        self.freeze_encoder = freeze_encoder
         self.detector = (OvertrainingDetector(threshold=overtraining_threshold)
                          if use_overtraining_detector else None)
+        self.eval_batch = None  # set to a Batch to render reference audio
         self.epoch = 0
         self.best_loss = float("inf")
         self._rng = jax.random.PRNGKey(seed + 1)
@@ -69,8 +72,28 @@ class RVCTrainer:
             else:
                 self._step_fns[adversarial] = make_train_step(
                     self.cfg, self.net_g, self.net_d,
-                    self._steps_per_epoch, adversarial)
+                    self._steps_per_epoch, adversarial,
+                    freeze_encoder=self.freeze_encoder)
         return self._step_fns[adversarial]
+
+    def render_eval_audio(self, name: Optional[str] = None) -> Optional[str]:
+        """Render the eval batch through the current generator to a wav
+        (the torch trainer's per-save reference inference,
+        `rvc/train/train.py:885-900`)."""
+        if self.eval_batch is None:
+            return None
+        import jax.numpy as jnp
+
+        from rvc_tpu.utils.audio import save_wav
+
+        b = self.eval_batch
+        wave, _ = self.net_g.apply(
+            {"params": self.state.g_params}, b.phone, b.phone_lengths,
+            b.pitch, b.pitchf, b.sid, method=self.net_g.infer)
+        path = os.path.join(self.checkpoint_dir,
+                            f"{name or f'epoch_{self.epoch:04d}'}_eval.wav")
+        save_wav(path, np.asarray(wave[0, :, 0]), self.cfg.data.sample_rate)
+        return path
 
     # ------------------------------------------------------------------
     def load_pretrained(self, g_path: Optional[str] = None,
@@ -204,6 +227,7 @@ class RVCTrainer:
             self.epoch += 1
             if self.epoch % save_every == 0:
                 self.save_checkpoint()
+                self.render_eval_audio()
         self.save_checkpoint("last")
         return {"epochs_run": len(history), "history": history,
                 "best_loss": self.best_loss}

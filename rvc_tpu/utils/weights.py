@@ -275,6 +275,35 @@ def convert_fcpe_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
     return unflatten_tree(flat)
 
 
+def convert_crepe_state_dict(sd: Dict[str, np.ndarray]):
+    """Torchcrepe state dict -> (params, batch_stats) for our CREPEModel.
+
+    Torchcrepe names: conv1..conv6 (Conv2d, weight (Cout, Cin, KH, 1)),
+    conv{i}_BN (BatchNorm), classifier (Linear). (The reference converts
+    the same source via `tools/convert_crepe_weights.py`.)
+    """
+    params: Dict[str, np.ndarray] = {}
+    stats: Dict[str, np.ndarray] = {}
+    for key, val in sd.items():
+        v = np.asarray(val, dtype=np.float32)
+        m = re.match(r"^conv(\d)\.(weight|bias)$", key)
+        if m:
+            if m.group(2) == "weight":
+                v = _t_conv2d(v)
+            params[f"conv{m.group(1)}/{m.group(2)}"] = v
+            continue
+        m = re.match(r"^conv(\d)_BN\.(weight|bias|running_mean|running_var)$", key)
+        if m:
+            leaf = m.group(2)
+            dst = stats if leaf.startswith("running") else params
+            dst[f"conv{m.group(1)}_BN/{leaf}"] = v
+            continue
+        m = re.match(r"^classifier\.(weight|bias)$", key)
+        if m:
+            params[f"classifier/{m.group(1)}"] = v
+    return unflatten_tree(params), unflatten_tree(stats)
+
+
 def convert_rmvpe_state_dict(sd: Dict[str, np.ndarray]):
     """Torch RMVPE E2E state dict -> (params, batch_stats) flax trees.
 
