@@ -1,0 +1,121 @@
+"""End-to-end pipeline-math parity vs a torch oracle chain.
+
+Composes the reference pipeline's math step by step in torch (HF HuBERT →
+2x upsample → protect blend → torch Synthesizer.infer) with the SAME
+converted weights and the SAME injected f0 curve, and compares against
+our staged pipeline (`input_f0` path). Catches drift in the pipeline
+plumbing itself — padding, upsampling, protect, coarse quantization.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+pytestmark = [pytest.mark.parity, pytest.mark.slow]
+
+
+@pytest.fixture(scope="module")
+def chain():
+    import importlib.machinery as mach
+
+    ta = types.ModuleType("torchaudio")
+    ta.__spec__ = mach.ModuleSpec("torchaudio", None)
+    sys.modules.setdefault("torchaudio", ta)
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from transformers import HubertConfig as HFConfig, HubertModel as HFHubert
+    from rvc.lib.algorithm.synthesizers import Synthesizer as TorchSynth
+
+    from rvc_tpu.api import RVC
+    from rvc_tpu.configs import get_config
+    from rvc_tpu.utils.weights import (
+        convert_hubert_state_dict,
+        convert_synthesizer_state_dict,
+    )
+
+    torch.manual_seed(7)
+    hf_cfg = HFConfig(hidden_size=96, num_hidden_layers=2,
+                      num_attention_heads=4, intermediate_size=192,
+                      conv_dim=[48] * 7, conv_kernel=[10, 3, 3, 3, 3, 2, 2],
+                      conv_stride=[5, 2, 2, 2, 2, 2, 2],
+                      num_conv_pos_embeddings=128,
+                      num_conv_pos_embedding_groups=16,
+                      do_stable_layer_norm=False, feat_extract_norm="group")
+    t_hubert = HFHubert(hf_cfg).eval()
+    t_synth = TorchSynth(
+        1025, 40, 192, 192, 768, 2, 2, 3, 0, "1", [3, 7, 11], [[1, 3, 5]] * 3,
+        [10, 8, 2, 2], 128, [20, 16, 4, 4], 2, 256, 32000, True,
+        vocoder="HiFi-GAN", text_enc_hidden_dim=96,
+    ).eval()
+
+    cfg = get_config(32000, model_spk_embed_dim=2, model_n_layers=2,
+                     model_upsample_initial_channel=128,
+                     model_text_enc_hidden_dim=96)
+    rvc = RVC(config=cfg, seed=0)
+    # swap in converted torch weights for both models
+    from rvc_tpu.models.hubert import HubertConfig, HubertModel
+
+    rvc.hubert = HubertModel(HubertConfig(hidden_size=96, num_hidden_layers=2,
+                                          num_attention_heads=4,
+                                          intermediate_size=192, conv_dim=48))
+    rvc.pipeline.hubert = rvc.hubert
+    rvc.pipeline.hubert_variables = {"params": convert_hubert_state_dict(
+        {k: v.numpy() for k, v in t_hubert.state_dict().items()})}
+    rvc.pipeline.synth_variables = {"params": convert_synthesizer_state_dict(
+        {k: v.numpy() for k, v in t_synth.state_dict().items()})}
+    rvc.pipeline._hubert_jit = __import__("jax").jit(
+        lambda v, a: rvc.hubert.apply(v, a, output_hidden_states=True))
+    return rvc, t_hubert, t_synth
+
+
+def _torch_chain(t_hubert, t_synth, audio_pad, pitch, pitchf, protect=0.5):
+    """The reference voice_conversion math in torch
+    (`rvc_mlx/infer/pipeline_mlx.py:166-260`, no index)."""
+    with torch.no_grad():
+        feats = t_hubert(torch.from_numpy(audio_pad)[None]).last_hidden_state
+        B, L, C = feats.shape
+        feats = feats[:, :, None, :].expand(B, L, 2, C).reshape(B, L * 2, C)
+        p_len = min(len(audio_pad) // 160, feats.shape[1])
+        feats = feats[:, :p_len]
+        pt = torch.from_numpy(pitch[:p_len].astype(np.int64))[None]
+        pf = torch.from_numpy(pitchf[:p_len].astype(np.float32))[None]
+        orig = torch.randn_like
+        torch.randn_like = lambda t, **kw: torch.zeros_like(t)
+        try:
+            o, _, _ = t_synth.infer(feats, torch.tensor([p_len]), pt, pf,
+                                    torch.tensor([0]))
+        finally:
+            torch.randn_like = orig
+    return o[0, 0].numpy(), p_len
+
+
+def test_pipeline_chain_parity(chain, sine_wave):
+    rvc, t_hubert, t_synth = chain
+    y, sr = sine_wave
+    from rvc_tpu.pipelines.offline import coarse_f0
+    from rvc_tpu.pitch.dsp import yin_f0
+
+    # shared inputs: filtered+padded audio and a fixed f0 curve
+    from rvc_tpu.utils.audio import highpass_filter
+
+    a = highpass_filter(y[:14080], 16000, 48.0, 5)
+    ap = np.pad(a, (rvc.pipeline.t_pad, rvc.pipeline.t_pad), mode="reflect")
+    f0 = yin_f0(ap, 16000)
+    p_len0 = len(ap) // 160
+    f0 = np.pad(f0, (0, max(0, p_len0 - len(f0))))[:p_len0]
+    pitch = coarse_f0(f0)
+
+    ref, p_len = _torch_chain(t_hubert, t_synth, ap, pitch, f0)
+    ours = rvc.pipeline.voice_conversion(ap, pitch, f0, 0, None, 0.0, 0.5)
+
+    n = min(len(ref), len(ours))
+    # deterministic except decoder source noise (zeroed in torch, seeded
+    # zero-key noise in ours is also zero when rng is None)
+    corr = np.corrcoef(ours[:n], ref[:n])[0, 1]
+    assert corr > 0.995, f"pipeline chain corr {corr:.4f}"
+    np.testing.assert_allclose(ours[:n], ref[:n], atol=0.02)
