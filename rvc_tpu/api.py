@@ -88,8 +88,11 @@ class RVC:
                 hp = W.convert_hubert_state_dict(sd)
             hubert_vars = {"params": hp}
         else:
-            hubert_vars = self.hubert.init(
-                jax.random.PRNGKey(seed + 1), jnp.zeros((1, 1600)))
+            from rvc_tpu.utils.init_utils import init_on_cpu
+
+            hubert_vars = init_on_cpu(
+                self.hubert.init, jax.random.PRNGKey(seed + 1),
+                jnp.zeros((1, 1600)))
 
         self.index = None
         if index_path and os.path.exists(index_path):
@@ -121,22 +124,26 @@ class RVC:
             config = config or get_config(48000)
             params = W.convert_synthesizer_state_dict(sd)
             return config, params
-        # random init
+        # random init (on the CPU backend: init is a one-off, not worth a
+        # device compile)
+        from rvc_tpu.utils.init_utils import cpu_backend
+
         config = config or get_config(48000)
         net = build_synthesizer(config)
         T = max(config.segment_frames + 4, 40)
         ks = jax.random.split(jax.random.PRNGKey(seed), 4)
-        variables = net.init(
-            {"params": ks[0], "noise": ks[1]},
-            jnp.zeros((1, T, config.model.text_enc_hidden_dim)),
-            jnp.array([T]),
-            jnp.zeros((1, T), dtype=jnp.int32),
-            jnp.full((1, T), 200.0),
-            jnp.zeros((1, T, config.data.spec_channels)),
-            jnp.array([T]),
-            jnp.array([0]),
-            rng=ks[2],
-        )
+        with cpu_backend():
+            variables = net.init(
+                {"params": ks[0], "noise": ks[1]},
+                jnp.zeros((1, T, config.model.text_enc_hidden_dim)),
+                jnp.array([T]),
+                jnp.zeros((1, T), dtype=jnp.int32),
+                jnp.full((1, T), 200.0),
+                jnp.zeros((1, T, config.data.spec_channels)),
+                jnp.array([T]),
+                jnp.array([0]),
+                rng=ks[2],
+            )
         return config, variables["params"]
 
     # ------------------------------------------------------------------

@@ -118,7 +118,11 @@ class CREPE:
         self.variant = variant
         self.model = CREPEModel(variant)
         if params is None:
-            v = self.model.init(jax.random.PRNGKey(seed), jnp.zeros((1, WINDOW_SIZE)))
+            from rvc_tpu.utils.init_utils import cpu_backend
+
+            with cpu_backend():
+                v = self.model.init(jax.random.PRNGKey(seed),
+                                    jnp.zeros((1, WINDOW_SIZE)))
             params, batch_stats = v["params"], v.get("batch_stats", {})
         self.variables = {"params": params, "batch_stats": batch_stats or {}}
         self._jit = jax.jit(lambda v, frames: self.model.apply(v, frames))

@@ -203,8 +203,11 @@ class FCPE:
         self.model = FCPEModel()
         self.threshold = threshold
         if params is None:
-            params = self.model.init(jax.random.PRNGKey(seed),
-                                     jnp.zeros((1, 32, N_MELS)))["params"]
+            from rvc_tpu.utils.init_utils import cpu_backend
+
+            with cpu_backend():
+                params = self.model.init(jax.random.PRNGKey(seed),
+                                         jnp.zeros((1, 32, N_MELS)))["params"]
         self.variables = {"params": params}
         self._jit = jax.jit(lambda v, mel: self.model.apply(v, mel))
 

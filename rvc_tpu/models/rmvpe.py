@@ -211,8 +211,11 @@ class RMVPE:
     def __init__(self, params=None, batch_stats=None, seed: int = 0):
         self.model = E2E()
         if params is None:
+            from rvc_tpu.utils.init_utils import cpu_backend
+
             mel = jnp.zeros((1, 32, N_MELS))
-            variables = self.model.init(jax.random.PRNGKey(seed), mel)
+            with cpu_backend():
+                variables = self.model.init(jax.random.PRNGKey(seed), mel)
             params = variables["params"]
             batch_stats = variables.get("batch_stats", {})
         self.variables = {"params": params, "batch_stats": batch_stats or {}}
