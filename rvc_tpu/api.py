@@ -144,7 +144,9 @@ class RVC:
                 jnp.array([0]),
                 rng=ks[2],
             )
-        return config, variables["params"]
+        from rvc_tpu.utils.init_utils import to_default_device
+
+        return config, to_default_device(variables["params"])
 
     # ------------------------------------------------------------------
     def infer(

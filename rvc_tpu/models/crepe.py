@@ -123,6 +123,9 @@ class CREPE:
             with cpu_backend():
                 v = self.model.init(jax.random.PRNGKey(seed),
                                     jnp.zeros((1, WINDOW_SIZE)))
+            from rvc_tpu.utils.init_utils import to_default_device
+
+            v = to_default_device(v)
             params, batch_stats = v["params"], v.get("batch_stats", {})
         self.variables = {"params": params, "batch_stats": batch_stats or {}}
         self._jit = jax.jit(lambda v, frames: self.model.apply(v, frames))

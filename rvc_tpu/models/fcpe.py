@@ -208,6 +208,9 @@ class FCPE:
             with cpu_backend():
                 params = self.model.init(jax.random.PRNGKey(seed),
                                          jnp.zeros((1, 32, N_MELS)))["params"]
+            from rvc_tpu.utils.init_utils import to_default_device
+
+            params = to_default_device(params)
         self.variables = {"params": params}
         self._jit = jax.jit(lambda v, mel: self.model.apply(v, mel))
 

@@ -216,6 +216,9 @@ class RMVPE:
             mel = jnp.zeros((1, 32, N_MELS))
             with cpu_backend():
                 variables = self.model.init(jax.random.PRNGKey(seed), mel)
+            from rvc_tpu.utils.init_utils import to_default_device
+
+            variables = to_default_device(variables)
             params = variables["params"]
             batch_stats = variables.get("batch_stats", {})
         self.variables = {"params": params, "batch_stats": batch_stats or {}}

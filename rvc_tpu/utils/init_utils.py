@@ -24,8 +24,22 @@ def cpu_backend():
         yield cpu
 
 
+def to_default_device(tree):
+    """Move a pytree committed to the CPU backend onto the default
+    accelerator (one bulk transfer). Without this, CPU-committed params
+    re-upload on EVERY jit call."""
+    try:
+        default = jax.devices()[0]
+    except RuntimeError:
+        return tree
+    if default.platform == "cpu":
+        return tree
+    return jax.tree.map(lambda x: jax.device_put(x, default), tree)
+
+
 def init_on_cpu(init_fn, *args, **kwargs):
-    """Run a flax init under the CPU backend; arrays transfer to the
-    default device lazily on first use."""
+    """Run a flax init under the CPU backend, then move the result to the
+    default device once."""
     with cpu_backend():
-        return init_fn(*args, **kwargs)
+        out = init_fn(*args, **kwargs)
+    return to_default_device(out)
