@@ -227,6 +227,40 @@ class Pipeline:
             self.pitch_extractor = PitchExtractor("rmvpe")
         return self.pitch_extractor._model
 
+    def _get_packed(self, use_index: bool, rmvpe):
+        """Packed-dispatch programs: each model's whole variable tree
+        travels as ONE flat f32 buffer (static-sliced back inside the
+        program). Cuts per-call handle marshalling from ~600 buffers to 3
+        — the dominant per-dispatch cost on a remote-dispatch link."""
+        key = ("packed", use_index)
+        if key not in self._fused:
+            from rvc_tpu.utils.packing import pack_tree, unpack_tree
+
+            if not hasattr(self, "_packed"):
+                sb, ss = pack_tree(self.synth_variables)
+                hb, hs = pack_tree(self.hubert_variables)
+                rb, rs = pack_tree(rmvpe.variables)
+                self._packed = dict(bufs=(sb, hb, rb), specs=(ss, hs, rs))
+            ss, hs, rs = self._packed["specs"]
+            fn_f0 = self._build_f0_program()
+            fn_conv = self._build_fused(use_index)
+
+            f0p = jax.jit(lambda rb, audio, ps, ats: fn_f0(
+                unpack_tree(rb, rs), audio, ps, ats))
+            if use_index:
+                convp = jax.jit(
+                    lambda sb, hb, audio, f0, sid, pl, prot, ir, idx, nprobe:
+                    fn_conv(unpack_tree(sb, ss), unpack_tree(hb, hs), audio,
+                            f0, sid, pl, prot, ir, idx, nprobe=nprobe),
+                    static_argnames=("nprobe",))
+            else:
+                convp = jax.jit(
+                    lambda sb, hb, audio, f0, sid, pl, prot:
+                    fn_conv(unpack_tree(sb, ss), unpack_tree(hb, hs), audio,
+                            f0, sid, pl, prot, 0.0))
+            self._fused[key] = (f0p, convp)
+        return self._fused[key]
+
     def _get_frozen(self, use_index: bool, rmvpe):
         """Serving-mode programs: weights baked into the executables as
         constants, so each dispatch ships only the audio + scalars. On a
@@ -292,6 +326,17 @@ class Pipeline:
                               nprobe=index.nprobe)
             else:
                 out = fn_conv(audio, f0, jnp.array([sid]), p_len_j, protect)
+        elif _os.environ.get("RVC_TPU_PACK", "1") == "1":
+            f0p, convp = self._get_packed(use_index, rmvpe)
+            sb, hb, rb = self._packed["bufs"]
+            f0 = f0p(rb, audio, pitch_shift, autotune_strength)
+            if use_index:
+                out = convp(sb, hb, audio, f0, jnp.array([sid]), p_len_j,
+                            protect, index_rate, index._dev(),
+                            nprobe=index.nprobe)
+            else:
+                out = convp(sb, hb, audio, f0, jnp.array([sid]), p_len_j,
+                            protect)
         else:
             if "f0" not in self._fused:
                 self._fused["f0"] = self._build_f0_program()
