@@ -142,6 +142,12 @@ def cmd_extract(args):
     train_rows, val_rows = builder.build()
     builder.write_filelist(os.path.join(exp_dir, "filelist_train.txt"), train_rows)
     builder.write_filelist(os.path.join(exp_dir, "filelist_val.txt"), val_rows)
+    # experiment metadata (reference `preparing_files.py` model_info.json)
+    sids = sorted({r["sid"] for r in train_rows + val_rows})
+    with open(os.path.join(exp_dir, "model_info.json"), "w") as f:
+        json.dump({"speakers_id": len(sids) or 1, "sample_rate": args.sample_rate,
+                   "f0_method": args.f0_method, "embedder_model": "contentvec",
+                   "n_train": len(train_rows), "n_val": len(val_rows)}, f, indent=2)
     print(f"{n} segments extracted; {len(train_rows)} train / {len(val_rows)} val")
 
 
