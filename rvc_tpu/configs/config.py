@@ -55,6 +55,7 @@ class ModelConfig:
     spk_embed_dim: int = 109
     use_f0: bool = True
     vocoder: str = "HiFi-GAN"  # HiFi-GAN | MRF HiFi-GAN | RefineGAN
+    checkpointing: bool = False  # rematerialize the decoder in training
 
 
 @dataclass(frozen=True)

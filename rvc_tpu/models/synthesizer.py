@@ -57,6 +57,10 @@ class Synthesizer(nn.Module):
             m.inter_channels, m.hidden_channels, 5, 1, 3,
             gin_channels=m.gin_channels,
         )
+        # activation checkpointing (the reference's `checkpointing` flag,
+        # `rvc/lib/algorithm/synthesizers.py:64`): rematerialize the
+        # decoder so training trades FLOPs for HBM
+        remat = (lambda cls: nn.remat(cls)) if m.checkpointing else (lambda cls: cls)
         if m.use_f0:
             if m.vocoder == "MRF HiFi-GAN":
                 from rvc_tpu.models.generators_extra import HiFiGANMRFGenerator
@@ -83,7 +87,7 @@ class Synthesizer(nn.Module):
                     gin_channels=m.gin_channels,
                 )
             else:
-                self.dec = HiFiGANNSFGenerator(
+                self.dec = remat(HiFiGANNSFGenerator)(
                     m.inter_channels, m.resblock_kernel_sizes,
                     m.resblock_dilation_sizes, m.upsample_rates,
                     m.upsample_initial_channel, m.upsample_kernel_sizes,
