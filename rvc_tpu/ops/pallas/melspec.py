@@ -43,10 +43,13 @@ def _dft_bases(n_fft: int, dtype=np.float32):
 
 def _mel_kernel(frames_ref, cosb_ref, sinb_ref, fb_ref, out_ref, *, clamp):
     f = frames_ref[:]                      # (TILE_F, n_fft) pre-windowed
-    re = jnp.dot(f, cosb_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(f, sinb_ref[:], preferred_element_type=jnp.float32)
+    # HIGHEST precision: the MXU runs multi-pass bf16 for f32-equivalent
+    # accuracy — needed for parity-grade log-mels near the clamp floor
+    hp = jax.lax.Precision.HIGHEST
+    re = jnp.dot(f, cosb_ref[:], preferred_element_type=jnp.float32, precision=hp)
+    im = jnp.dot(f, sinb_ref[:], preferred_element_type=jnp.float32, precision=hp)
     mag = jnp.sqrt(re * re + im * im)
-    mel = jnp.dot(mag, fb_ref[:], preferred_element_type=jnp.float32)
+    mel = jnp.dot(mag, fb_ref[:], preferred_element_type=jnp.float32, precision=hp)
     out_ref[:] = jnp.log(jnp.clip(mel, min=clamp))
 
 
