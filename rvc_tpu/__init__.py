@@ -11,3 +11,16 @@ preprocessing and index building — designed TPU-first: one canonical
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (keep `import rvc_tpu` light)
+    if name == "RVC":
+        from rvc_tpu.api import RVC
+
+        return RVC
+    if name == "get_config":
+        from rvc_tpu.configs import get_config
+
+        return get_config
+    raise AttributeError(name)
