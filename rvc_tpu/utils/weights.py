@@ -145,6 +145,33 @@ _SYNTH_RULES = [
     (r"^dec\.resblocks\.(\d+)\.convs([12])\.(\d+)\.bias$",
      r"dec/resblocks_\1/convs\2_\3/bias", None),
     (r"^dec\.m_source\.l_linear\.(weight|bias)$", r"dec/m_source/l_linear/\1", None),
+    # MRF HiFi-GAN decoder (`rvc/lib/algorithm/generators/hifigan_mrf.py`)
+    (r"^dec\.upsamples\.(\d+)\.weight$", r"dec/upsamples_\1/weight", _t_convtr1d),
+    (r"^dec\.upsamples\.(\d+)\.bias$", r"dec/upsamples_\1/bias", None),
+    (r"^dec\.mrfs\.(\d+)\.(\d+)\.layers\.(\d+)\.conv([12])\.weight$",
+     r"dec/mrfs_\1_\2/layers_\3/conv\4/weight", _t_conv1d),
+    (r"^dec\.mrfs\.(\d+)\.(\d+)\.layers\.(\d+)\.conv([12])\.bias$",
+     r"dec/mrfs_\1_\2/layers_\3/conv\4/bias", None),
+    # RefineGAN decoder (`rvc/lib/algorithm/generators/refinegan.py`)
+    (r"^dec\.(pre_conv|mel_conv)\.weight$", r"dec/\1/weight", _t_conv1d),
+    (r"^dec\.(pre_conv|mel_conv)\.bias$", r"dec/\1/bias", None),
+    (r"^dec\.downsample_blocks\.(\d+)\.weight$",
+     r"dec/downsample_blocks_\1/weight", _t_conv1d),
+    (r"^dec\.downsample_blocks\.(\d+)\.bias$",
+     r"dec/downsample_blocks_\1/bias", None),
+    (r"^dec\.upsample_conv_blocks\.(\d+)\.input_conv\.weight$",
+     r"dec/upsample_conv_blocks_\1/input_conv/weight", _t_conv1d),
+    (r"^dec\.upsample_conv_blocks\.(\d+)\.input_conv\.bias$",
+     r"dec/upsample_conv_blocks_\1/input_conv/bias", None),
+    (r"^dec\.upsample_conv_blocks\.(\d+)\.blocks\.(\d+)\.0\.weight$",
+     r"dec/upsample_conv_blocks_\1/adain1_\2/weight", None),
+    (r"^dec\.upsample_conv_blocks\.(\d+)\.blocks\.(\d+)\.2\.weight$",
+     r"dec/upsample_conv_blocks_\1/adain2_\2/weight", None),
+    (r"^dec\.upsample_conv_blocks\.(\d+)\.blocks\.(\d+)\.1\.convs([12])\.(\d+)\.weight$",
+     r"dec/upsample_conv_blocks_\1/res_\2/convs\3_\4/weight", _t_conv1d),
+    (r"^dec\.upsample_conv_blocks\.(\d+)\.blocks\.(\d+)\.1\.convs([12])\.(\d+)\.bias$",
+     r"dec/upsample_conv_blocks_\1/res_\2/convs\3_\4/bias", None),
+    (r"^dec\.m_source\.merge\.0\.weight$", r"dec/m_source_merge/weight", None),
     (r"^emb_g\.weight$", r"emb_g/weight", None),
 ]
 
