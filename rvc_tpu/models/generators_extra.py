@@ -193,7 +193,6 @@ def kaiser_sinc_decimate(x: jax.Array, factor: int, width: int = 64,
     kernel = (sinc * win).astype(np.float32)
     kernel = kernel / kernel.sum()
     C = x.shape[-1]
-    k = jnp.asarray(kernel)[:, None, None] * jnp.eye(C, dtype=x.dtype)[None]
     # depthwise conv: kernel (K, 1, C), groups=C
     kd = jnp.asarray(kernel)[:, None, None] * jnp.ones((1, 1, C), dtype=x.dtype)
     from rvc_tpu.ops.conv import conv1d

@@ -25,17 +25,6 @@ def shard_state(state: TrainState, mesh: Mesh, min_size: int = 1 << 16) -> Train
     def put(tree, sh):
         return jax.tree.map(jax.device_put, tree, sh)
 
-    def put_opt(opt, params_sh):
-        # optimizer moments mirror the param tree; other leaves replicate
-        def leaf(x):
-            return jax.device_put(x, replicate(mesh))
-
-        return jax.tree.map(
-            lambda x: jax.device_put(x, replicate(mesh)) if not hasattr(x, "shape") or x.ndim == 0
-            else x,
-            opt,
-        )
-
     return TrainState(
         g_params=put(state.g_params, g_sh),
         d_params=put(state.d_params, d_sh),

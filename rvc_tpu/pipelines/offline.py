@@ -451,9 +451,7 @@ class Pipeline:
         wave, _ = self._infer_jit(
             self.synth_variables, feats_up, jnp.array([p_len]),
             pitch_j, pitchf_j, jnp.array([sid]))
-        # wave: (1, t_feat*hop_tgt, 1); actual audio = p_len frames worth
-        upp = self.synthesizer.dec.upp if hasattr(self.synthesizer, "dec") else (
-            self.tgt_sr // 100)
+        # wave: (1, t_feat * (tgt_sr//100), 1); p_len frames are real audio
         out = np.asarray(wave[0, :, 0])
         return out[: p_len * (self.tgt_sr // 100)]
 
