@@ -22,8 +22,16 @@ METHODS = ["rmvpe", "crepe", "crepe-tiny", "fcpe", "dio", "pm", "harvest",
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default=None)
-    ap.add_argument("--seconds", type=float, default=2.0)
+    ap.add_argument("--seconds", type=float, default=1.0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the TPU plugin registers "
+                         "itself in every process; env vars alone don't win)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from rvc_tpu.api import RVC
     from rvc_tpu.configs import get_config
