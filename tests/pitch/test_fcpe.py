@@ -33,9 +33,10 @@ def torch_fcpe():
     sf = types.ModuleType("soundfile")
     sf.__spec__ = _mach.ModuleSpec("soundfile", None)
     sys.modules.setdefault("soundfile", sf)
-    import rvc_tpu.ops.stft as stft_ops
-
+    import importlib as _importlib
     import importlib.machinery
+
+    stft_ops = _importlib.import_module("rvc_tpu.ops.stft")
 
     lib = types.ModuleType("librosa")
     lib.__spec__ = importlib.machinery.ModuleSpec("librosa", None)

@@ -12,7 +12,9 @@ import torch
 import jax
 import jax.numpy as jnp
 
-import rvc_tpu.ops.stft as stft_ops
+import importlib as _importlib
+
+stft_ops = _importlib.import_module("rvc_tpu.ops.stft")
 from rvc_tpu.models.rmvpe import E2E, RMVPE, decode_salience
 from rvc_tpu.utils.weights import convert_rmvpe_state_dict
 
