@@ -108,6 +108,10 @@ class RVC:
 
     # ------------------------------------------------------------------
     def _load_model(self, model_path, config, seed):
+        if model_path and not os.path.exists(model_path):
+            # never fall through to random init on a typo'd path — that
+            # silently "converts" with untrained weights
+            raise FileNotFoundError(f"model checkpoint not found: {model_path}")
         if model_path and model_path.endswith(".safetensors") and os.path.exists(model_path):
             params = W.load_params(model_path)
             sidecar = os.path.splitext(model_path)[0] + ".json"
@@ -124,6 +128,10 @@ class RVC:
             config = config or get_config(48000)
             params = W.convert_synthesizer_state_dict(sd)
             return config, params
+        if model_path:
+            raise ValueError(
+                f"unsupported model format {os.path.splitext(model_path)[1]!r} "
+                "(expected .safetensors or .pth)")
         # random init (on the CPU backend: init is a one-off, not worth a
         # device compile)
         from rvc_tpu.utils.init_utils import cpu_backend

@@ -218,6 +218,10 @@ def cmd_prerequisites(args):
 
 def main(argv=None):
     parser = argparse.ArgumentParser("rvc-tpu", description=__doc__)
+    # JAX_PLATFORMS in the environment is too late on images whose
+    # sitecustomize pre-imports jax; this flag works regardless
+    parser.add_argument("--device", choices=["tpu", "cpu"], default=None,
+                        help="force the compute backend (default: best available)")
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("infer")
@@ -317,6 +321,10 @@ def main(argv=None):
     p.set_defaults(fn=cmd_prerequisites)
 
     args = parser.parse_args(argv)
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
     args.fn(args)
 
 

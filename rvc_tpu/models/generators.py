@@ -49,7 +49,10 @@ def sine_source(
     Returns (source, voiced_mask) at audio rate.
     """
     B, L = f0.shape
-    dtype = f0.dtype
+    # phase accumulates over L*upp samples — always f32, even under a
+    # bf16 compute policy (callers cast the returned source back down)
+    dtype = jnp.float32
+    f0 = f0.astype(dtype)
     n_harm = harmonic_num + 1
     grid = jnp.arange(1, upp + 1, dtype=dtype)
     phase_inc = (f0[:, :, None] / sample_rate) * grid[None, None, :]  # (B, L, upp)
@@ -135,7 +138,7 @@ class HiFiGANNSFGenerator(nn.Module):
 
         har_source = SourceModuleHnNSF(self.sr, harmonic_num=0, name="m_source")(
             f0, self.upp, rng
-        )  # (B, T*upp, 1)
+        ).astype(x.dtype)  # (B, T*upp, 1); follow the main path's compute dtype
 
         x = Conv1d(self.initial_channel, self.upsample_initial_channel, 7,
                    padding=3, name="conv_pre")(x)

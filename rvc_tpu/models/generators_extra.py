@@ -42,6 +42,9 @@ def audio_rate_sines(
     Returns (B, T_audio, harmonic_num+1).
     """
     B, T, _ = f0.shape
+    # phase cumsum runs over the full audio length — keep it f32 even
+    # under a bf16 compute policy (callers cast the source back down)
+    f0 = f0.astype(jnp.float32)
     dims = harmonic_num + 1
     mult = jnp.arange(1, dims + 1, dtype=f0.dtype)[None, None, :]
     rad = jnp.fmod(f0 * mult / sample_rate, 1.0)
@@ -136,7 +139,7 @@ class HiFiGANMRFGenerator(nn.Module):
         # nearest-neighbor upsample of frame f0 to audio rate
         f0_up = jnp.repeat(f0[:, :, None], self.upp, axis=1)
         har = SourceModuleAudioRate(self.sample_rate, self.harmonic_num,
-                                    name="m_source")(f0_up, rng)
+                                    name="m_source")(f0_up, rng).astype(x.dtype)
 
         x = Conv1d(self.in_channel, self.upsample_initial_channel, 7,
                    padding=3, name="conv_pre")(x)
@@ -290,7 +293,8 @@ class RefineGANGenerator(nn.Module):
         if rng is not None:
             rng, r_sine = jax.random.split(rng)
         sines = audio_rate_sines(f0_up, self.sample_rate, 0, rng=r_sine)
-        har = jnp.tanh(Linear(1, 1, use_bias=False, name="m_source_merge")(sines))
+        har = jnp.tanh(Linear(1, 1, use_bias=False,
+                              name="m_source_merge")(sines)).astype(mel.dtype)
 
         x = Conv1d(1, 16, 7, padding=3, name="pre_conv")(har)
         downs = []

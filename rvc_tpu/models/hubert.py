@@ -88,7 +88,7 @@ class SelfAttention(nn.Module):
         scores = jnp.einsum("bhtd,bhsd->bhts", split(q) * (D ** -0.5), split(k))
         if mask is not None:
             scores = jnp.where(mask == 0, jnp.asarray(-1e4, scores.dtype), scores)
-        p = jax.nn.softmax(scores, axis=-1)
+        p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
         out = jnp.einsum("bhts,bhsd->bhtd", p, split(v))
         out = out.transpose(0, 2, 1, 3).reshape(B, T, c.hidden_size)
         return Linear(c.hidden_size, c.hidden_size, name="out_proj")(out)

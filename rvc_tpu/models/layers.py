@@ -161,19 +161,21 @@ class BatchNorm(nn.Module):
                                 lambda: jnp.zeros((self.num_features,)))
         ra_var = self.variable("batch_stats", "running_var",
                                lambda: jnp.ones((self.num_features,)))
+        xf = x.astype(jnp.float32)  # stats/affine in f32 under bf16 policy
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axis=axes)
-            var = jnp.var(x, axis=axes)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.var(xf, axis=axes)
             if not self.is_initializing():
                 n = x.size // self.num_features
                 unbiased = var * n / max(n - 1, 1)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
         inv = jax.lax.rsqrt(var + self.eps)
-        return (x - mean) * inv * scale + bias
+        out = (xf - mean) * inv * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return out.astype(x.dtype)
 
 
 class LayerNorm(nn.Module):
@@ -186,9 +188,12 @@ class LayerNorm(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         w = self.param("weight", nn.initializers.ones, (self.num_features,))
         b = self.param("bias", nn.initializers.zeros, (self.num_features,))
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.var(x, axis=-1, keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.eps) * w + b
+        xf = x.astype(jnp.float32)  # stats/affine in f32 under bf16 policy
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        out = (xf - mean) * jax.lax.rsqrt(var + self.eps) * w.astype(jnp.float32) \
+            + b.astype(jnp.float32)
+        return out.astype(x.dtype)
 
 
 class Embedding(nn.Module):

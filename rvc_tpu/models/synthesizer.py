@@ -156,10 +156,17 @@ class Synthesizer(nn.Module):
         else:
             z_p = m_p * x_mask
         z = self.flow(z_p, x_mask, g=g, reverse=True)
+        # decoder activations are pinned to f32 regardless of the compute
+        # dtype: bf16 activations at audio rate raise the vocoder's
+        # spectral noise floor (measured: log-spec corr 0.50 vs 0.9999
+        # with f32 decode under an otherwise-bf16 pipeline); bf16 decoder
+        # *params* are fine and upcast at use
+        zd = (z * x_mask).astype(jnp.float32)
+        gd = g.astype(jnp.float32)
         if self.model.use_f0:
-            o = self.dec(z * x_mask, nsff0, g=g, rng=rng)
+            o = self.dec(zd, nsff0, g=gd, rng=rng)
         else:
-            o = self.dec(z * x_mask, g=g)
+            o = self.dec(zd, g=gd)
         return o, x_mask
 
 

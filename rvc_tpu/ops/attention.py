@@ -69,7 +69,8 @@ def relative_attention(
     if attn_mask is not None:
         scores = jnp.where(attn_mask == 0, jnp.asarray(-1e4, dtype=scores.dtype), scores)
 
-    p = jax.nn.softmax(scores, axis=-1)
+    # softmax in f32: bf16 exp/sum over T loses mass on long sequences
+    p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
 
     out = jnp.einsum("bhts,bhsd->bhtd", p, v)
     rel_weights = absolute_to_relative(p)

@@ -91,9 +91,35 @@ def _upsample_protect(
 
     f = up(feats)
     fr = up(feats_raw)
-    pitchff = jnp.where(pitchf > 0, 1.0, protect)[:, :, None]
+    # blend weights follow the feature compute dtype (f0 itself stays f32)
+    pitchff = jnp.where(pitchf > 0, 1.0, protect)[:, :, None].astype(feats.dtype)
     blended = f * pitchff + fr * (1.0 - pitchff)
     return jnp.where(protect < 0.5, blended, f)
+
+
+def _cast_float_tree(tree, dtype):
+    """Cast every floating leaf of a pytree to `dtype` (free inside jit)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+def _compute_dtype():
+    """Inference compute-dtype policy: RVC_TPU_BF16=1 runs HuBERT +
+    retrieval + synthesizer in bfloat16 (f32 accumulation everywhere,
+    f32 f0/sine-phase path). The RMVPE f0 program always stays f32."""
+    import os as _os
+
+    return jnp.bfloat16 if _os.environ.get("RVC_TPU_BF16", "0") == "1" else jnp.float32
+
+
+def _f16_out() -> bool:
+    """RVC_TPU_F16_OUT=1 (default) transfers the waveform as f16."""
+    import os as _os
+
+    return _os.environ.get("RVC_TPU_F16_OUT", "1") == "1"
 
 
 class Pipeline:
@@ -176,7 +202,8 @@ class Pipeline:
 
         return jax.jit(fn_f0)
 
-    def _build_fused(self, use_index: bool):
+    def _build_fused(self, use_index: bool, compute_dtype=jnp.float32,
+                     f16_out: bool = True):
         from rvc_tpu.retrieval.ivf import _ivf_search, index_blend
 
         synth = self.synthesizer
@@ -187,13 +214,22 @@ class Pipeline:
             T = audio.shape[1]
             p_len0 = T // WINDOW
 
+            if compute_dtype != jnp.float32:
+                # bf16 policy: params + activations in bf16, convs/matmuls
+                # accumulate f32 (ops/conv.py), norms/softmax/sine-phase f32
+                audio = audio.astype(compute_dtype)
+                synth_vars = _cast_float_tree(synth_vars, compute_dtype)
+                hubert_vars = _cast_float_tree(hubert_vars, compute_dtype)
+
             feats = hubert.apply(hubert_vars, audio, output_hidden_states=True)
             feats_raw = feats
             if use_index:
                 vectors, vec_sq, list_ids, centroids = index_arrays
                 d, i = _ivf_search(feats[0], vectors, vec_sq, list_ids,
                                    centroids, 8, nprobe)
-                feats = index_blend(feats[0], vectors[i], d, index_rate)[None]
+                # the index stays f32; re-enter the compute dtype after blend
+                feats = index_blend(feats[0], vectors[i], d,
+                                    index_rate)[None].astype(compute_dtype)
 
             t_feat = feats.shape[1] * 2
             if p_len0 >= t_feat:
@@ -211,13 +247,13 @@ class Pipeline:
                 synth_vars, feats_up, p_len, pitch, f0,
                 sid, method=synth.infer)
             wave = wave[:, :, 0]
-            import os as _os
-
-            if _os.environ.get("RVC_TPU_F16_OUT", "1") == "1":
+            if f16_out:
                 # halve the device->host transfer: final audio is tanh
                 # bounded in [-1, 1] where f16 carries ~1e-3 absolute
                 # error — inaudible and far inside the spec-corr bar
                 wave = wave.astype(jnp.float16)
+            else:
+                wave = wave.astype(jnp.float32)
             return wave
 
         return jax.jit(fn, static_argnames=("nprobe",))
@@ -232,18 +268,23 @@ class Pipeline:
         travels as ONE flat f32 buffer (static-sliced back inside the
         program). Cuts per-call handle marshalling from ~600 buffers to 3
         — the dominant per-dispatch cost on a remote-dispatch link."""
-        key = ("packed", use_index)
-        if key not in self._fused:
-            from rvc_tpu.utils.packing import pack_tree, unpack_tree
+        dtype = _compute_dtype()
+        f16_out = _f16_out()
+        from rvc_tpu.utils.packing import pack_tree, unpack_tree
 
-            if not hasattr(self, "_packed"):
-                sb, ss = pack_tree(self.synth_variables)
-                hb, hs = pack_tree(self.hubert_variables)
-                rb, rs = pack_tree(rmvpe.variables)
-                self._packed = dict(bufs=(sb, hb, rb), specs=(ss, hs, rs))
+        if getattr(self, "_packed_dtype", None) != dtype:
+            # synth/hubert buffers ship in the compute dtype (bf16 =
+            # half the dispatch bytes + HBM reads); RMVPE stays f32
+            sb, ss = pack_tree(self.synth_variables, dtype)
+            hb, hs = pack_tree(self.hubert_variables, dtype)
+            rb, rs = pack_tree(rmvpe.variables)
+            self._packed = dict(bufs=(sb, hb, rb), specs=(ss, hs, rs))
+            self._packed_dtype = dtype
+        key = ("packed", use_index, jnp.dtype(dtype).name, f16_out)
+        if key not in self._fused:
             ss, hs, rs = self._packed["specs"]
             fn_f0 = self._build_f0_program()
-            fn_conv = self._build_fused(use_index)
+            fn_conv = self._build_fused(use_index, dtype, f16_out)
 
             f0p = jax.jit(lambda rb, audio, ps, ats: fn_f0(
                 unpack_tree(rb, rs), audio, ps, ats))
@@ -266,10 +307,12 @@ class Pipeline:
         constants, so each dispatch ships only the audio + scalars. On a
         remote-dispatch link (tunneled TPU) per-call marshalling of ~600
         weight handles dominates latency; freezing removes it."""
-        key = ("frozen", use_index)
+        dtype = _compute_dtype()
+        f16_out = _f16_out()
+        key = ("frozen", use_index, jnp.dtype(dtype).name, f16_out)
         if key not in self._fused:
             fn_f0 = self._build_f0_program()
-            fn_conv = self._build_fused(use_index)
+            fn_conv = self._build_fused(use_index, dtype, f16_out)
             rv, sv, hv = rmvpe.variables, self.synth_variables, self.hubert_variables
             if use_index:
                 f0_frozen = jax.jit(
@@ -338,19 +381,21 @@ class Pipeline:
                 out = convp(sb, hb, audio, f0, jnp.array([sid]), p_len_j,
                             protect)
         else:
+            dtype = _compute_dtype()
+            key = ("plain", use_index, jnp.dtype(dtype).name, _f16_out())
             if "f0" not in self._fused:
                 self._fused["f0"] = self._build_f0_program()
-            if use_index not in self._fused:
-                self._fused[use_index] = self._build_fused(use_index)
+            if key not in self._fused:
+                self._fused[key] = self._build_fused(use_index, dtype, _f16_out())
             f0 = self._fused["f0"](rmvpe.variables, audio, pitch_shift,
                                    autotune_strength)
             if use_index:
-                out = self._fused[use_index](
+                out = self._fused[key](
                     self.synth_variables, self.hubert_variables, audio, f0,
                     jnp.array([sid]), p_len_j, protect, index_rate,
                     index._dev(), nprobe=index.nprobe)
             else:
-                out = self._fused[use_index](
+                out = self._fused[key](
                     self.synth_variables, self.hubert_variables, audio, f0,
                     jnp.array([sid]), p_len_j, protect, 0.0)
         out = np.asarray(out[0]).astype(np.float32)
@@ -359,6 +404,9 @@ class Pipeline:
     def refresh(self) -> None:
         """Drop cached compiled programs (call after swapping weights)."""
         self._fused.clear()
+        self._packed_dtype = None
+        if hasattr(self, "_packed"):
+            del self._packed
 
     # ------------------------------------------------------------------
     def get_f0(

@@ -27,15 +27,25 @@ class PackSpec:
         self.total = total
 
 
-def pack_tree(tree: Any) -> Tuple[jax.Array, PackSpec]:
-    """Flatten a float pytree into one f32 buffer + static spec."""
+def pack_tree(tree: Any, dtype=jnp.float32) -> Tuple[jax.Array, PackSpec]:
+    """Flatten a float pytree into one flat buffer + static spec.
+
+    ``dtype`` is the storage (and, for float leaves, the unpack) dtype —
+    pass ``jnp.bfloat16`` for a half-bandwidth buffer whose float leaves
+    come back as bf16 (the inference compute-dtype policy). Non-float
+    leaves round-trip through the buffer but keep their own dtype.
+    """
     leaves, treedef = jax.tree.flatten(tree)
     shapes = [tuple(np.shape(l)) for l in leaves]
-    dtypes = [jnp.asarray(l).dtype for l in leaves]
+    dtypes = [
+        dtype if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)
+        else jnp.asarray(l).dtype
+        for l in leaves
+    ]
     sizes = [int(np.prod(s)) if s else 1 for s in shapes]
     offsets = list(np.cumsum([0] + sizes[:-1]))
-    flat = [jnp.ravel(jnp.asarray(l)).astype(jnp.float32) for l in leaves]
-    buf = jnp.concatenate(flat) if flat else jnp.zeros((0,), jnp.float32)
+    flat = [jnp.ravel(jnp.asarray(l)).astype(dtype) for l in leaves]
+    buf = jnp.concatenate(flat) if flat else jnp.zeros((0,), dtype)
     return buf, PackSpec(treedef, shapes, dtypes, offsets, sizes, int(sum(sizes)))
 
 

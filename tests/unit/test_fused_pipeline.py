@@ -60,3 +60,25 @@ def test_fused_autotune_and_shift(tiny_rvc, sine_wave):
     out = tiny_rvc.infer(y[:8000], f0_method="rmvpe", pitch=2.0,
                          f0_autotune=True, f0_autotune_strength=1.0)
     assert np.isfinite(out).all()
+
+
+@pytest.mark.slow
+def test_bf16_policy_matches_f32(tiny_rvc, sine_wave, monkeypatch):
+    """RVC_TPU_BF16=1 (bf16 HuBERT/enc_p/flow, f32 decoder activations)
+    must be spectrally indistinguishable from the f32 path."""
+    from rvc_tpu.monitoring.voice_metrics import spectrogram_correlation
+
+    y, _ = sine_wave
+    chunk = y[:14080]
+    monkeypatch.setenv("RVC_TPU_F16_OUT", "0")
+    monkeypatch.setenv("RVC_TPU_BF16", "0")
+    out32 = tiny_rvc.infer(chunk, f0_method="rmvpe")
+    monkeypatch.setenv("RVC_TPU_BF16", "1")
+    out16 = tiny_rvc.infer(chunk, f0_method="rmvpe")
+    monkeypatch.setenv("RVC_TPU_BF16", "0")
+
+    n = min(len(out32), len(out16))
+    corr = np.corrcoef(out32[:n], out16[:n])[0, 1]
+    assert corr > 0.999, f"bf16/f32 waveform corr {corr:.6f}"
+    sc = spectrogram_correlation(out32[:n], out16[:n])
+    assert sc > 0.99, f"bf16/f32 spec corr {sc:.4f}"
