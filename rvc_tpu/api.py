@@ -240,6 +240,9 @@ class RVC:
                          format=export_format.upper())
                 return path
             except ImportError:
-                pass
+                import sys
+
+                print(f"soundfile not available; exporting WAV instead of "
+                      f"{export_format.upper()}", file=sys.stderr)
         audio_utils.save_wav(audio_output, out, self.cfg.data.sample_rate)
         return audio_output

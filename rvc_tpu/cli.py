@@ -15,21 +15,101 @@ import os
 import sys
 
 
+def _f0_method(value: str) -> str:
+    """f0 method choice incl. hybrid[a+b+...] combos (reference
+    `rvc_cli.py:678-691` declares hybrids; we actually implement them)."""
+    base = ["rmvpe", "crepe", "crepe-tiny", "fcpe", "dio", "pm", "harvest"]
+    if value in base or (value.startswith("hybrid[") and value.endswith("]")):
+        return value
+    raise argparse.ArgumentTypeError(
+        f"invalid f0 method {value!r}: choose from {base} or hybrid[a+b]")
+
+
 def _add_infer_args(p):
     p.add_argument("--input_path", required=True)
     p.add_argument("--output_path", required=True)
     p.add_argument("--model_path", "--pth_path", dest="model_path", required=True)
     p.add_argument("--index_path", default=None)
     p.add_argument("--pitch", type=float, default=0)
-    p.add_argument("--f0_method", default="rmvpe",
-                   choices=["rmvpe", "crepe", "crepe-tiny", "fcpe", "dio", "pm", "harvest"])
+    p.add_argument("--f0_method", default="rmvpe", type=_f0_method)
     p.add_argument("--index_rate", type=float, default=0.75)
     p.add_argument("--volume_envelope", type=float, default=1.0)
     p.add_argument("--protect", type=float, default=0.5)
     p.add_argument("--f0_autotune", action="store_true")
     p.add_argument("--f0_autotune_strength", type=float, default=1.0)
+    p.add_argument("--f0_file", default=None,
+                   help="text file with one f0 value per frame (overrides extraction)")
+    p.add_argument("--proposed_pitch", action="store_true")
+    p.add_argument("--proposed_pitch_threshold", type=float, default=155.0)
     p.add_argument("--sid", type=int, default=0)
     p.add_argument("--hubert_path", default=None)
+    p.add_argument("--split_audio", action="store_true")
+    p.add_argument("--clean_audio", action="store_true")
+    p.add_argument("--clean_strength", type=float, default=0.5)
+    p.add_argument("--export_format", default="WAV",
+                   choices=["WAV", "MP3", "FLAC", "OGG", "M4A"])
+    p.add_argument("--formant_shifting", action="store_true")
+    p.add_argument("--formant_qfrency", type=float, default=1.0)
+    p.add_argument("--formant_timbre", type=float, default=1.0)
+    p.add_argument("--post_process", action="store_true")
+    # pedalboard-parity FX flag set (reference rvc_cli.py infer flags)
+    for flag in ("reverb", "limiter", "gain", "distortion", "chorus",
+                 "bitcrush", "clipping", "compressor", "delay"):
+        p.add_argument(f"--{flag}", action="store_true")
+    for flag, d in (
+        ("reverb_room_size", 0.5), ("reverb_damping", 0.5),
+        ("reverb_wet_level", 0.33), ("reverb_dry_level", 0.4),
+        ("reverb_width", 1.0), ("reverb_freeze_mode", 0.0),
+        ("limiter_threshold", -6.0), ("limiter_release", 50.0),
+        ("gain_db", 0.0), ("distortion_gain", 25.0),
+        ("chorus_rate", 1.0), ("chorus_depth", 0.25), ("chorus_delay", 7.0),
+        ("chorus_feedback", 0.0), ("chorus_mix", 0.5),
+        ("bitcrush_bit_depth", 8.0), ("clipping_threshold", 0.0),
+        ("compressor_threshold", 0.0), ("compressor_ratio", 1.0),
+        ("compressor_attack", 1.0), ("compressor_release", 100.0),
+        ("delay_seconds", 0.5), ("delay_feedback", 0.0), ("delay_mix", 0.5),
+    ):
+        p.add_argument(f"--{flag}", type=float, default=d)
+
+
+_FX_KEYS = (
+    "reverb", "limiter", "gain", "distortion", "chorus", "bitcrush",
+    "clipping", "compressor", "delay",
+    "reverb_room_size", "reverb_damping", "reverb_wet_level",
+    "reverb_dry_level", "reverb_width", "reverb_freeze_mode",
+    "limiter_threshold", "limiter_release", "gain_db", "distortion_gain",
+    "chorus_rate", "chorus_depth", "chorus_delay", "chorus_feedback",
+    "chorus_mix", "bitcrush_bit_depth", "clipping_threshold",
+    "compressor_threshold", "compressor_ratio", "compressor_attack",
+    "compressor_release", "delay_seconds", "delay_feedback", "delay_mix",
+)
+
+
+def _infer_kwargs(args):
+    """Shared CLI->RVC.infer kwarg mapping for infer/batch_infer/tts."""
+    input_f0 = None
+    if getattr(args, "f0_file", None):
+        import numpy as np
+
+        input_f0 = np.loadtxt(args.f0_file, dtype=np.float32).ravel()
+    kw = dict(
+        sid=args.sid, pitch=args.pitch, f0_method=args.f0_method,
+        index_rate=args.index_rate, volume_envelope=args.volume_envelope,
+        protect=args.protect, f0_autotune=args.f0_autotune,
+        f0_autotune_strength=args.f0_autotune_strength,
+        input_f0=input_f0,
+        proposed_pitch=args.proposed_pitch,
+        proposed_pitch_threshold=args.proposed_pitch_threshold,
+        split_audio=args.split_audio, clean_audio=args.clean_audio,
+        clean_strength=args.clean_strength,
+        formant_shifting=args.formant_shifting,
+        formant_qfrency=args.formant_qfrency,
+        formant_timbre=args.formant_timbre,
+        post_process=args.post_process,
+        export_format=args.export_format,
+    )
+    kw.update({k: getattr(args, k) for k in _FX_KEYS})
+    return kw
 
 
 def _load_rvc(args):
@@ -41,12 +121,8 @@ def _load_rvc(args):
 
 def cmd_infer(args):
     rvc = _load_rvc(args)
-    out = rvc.infer_file(
-        args.input_path, args.output_path, sid=args.sid, pitch=args.pitch,
-        f0_method=args.f0_method, index_rate=args.index_rate,
-        volume_envelope=args.volume_envelope, protect=args.protect,
-        f0_autotune=args.f0_autotune,
-        f0_autotune_strength=args.f0_autotune_strength)
+    out = rvc.infer_file(args.input_path, args.output_path,
+                         **_infer_kwargs(args))
     print(f"wrote {out}")
 
 
@@ -60,10 +136,7 @@ def cmd_batch_infer(args):
         out = os.path.join(args.output_folder,
                            os.path.splitext(f)[0] + "_output.wav")
         rvc.infer_file(os.path.join(args.input_folder, f), out,
-                       sid=args.sid, pitch=args.pitch,
-                       f0_method=args.f0_method, index_rate=args.index_rate,
-                       volume_envelope=args.volume_envelope,
-                       protect=args.protect)
+                       **_infer_kwargs(args))
         print(f"wrote {out}")
     print(f"{len(files)} files converted")
 
@@ -84,10 +157,39 @@ def cmd_tts(args):
 
     asyncio.run(synth())
     rvc = _load_rvc(args)
-    rvc.infer_file(args.output_tts_path, args.output_path, sid=args.sid,
-                   pitch=args.pitch, f0_method=args.f0_method,
-                   index_rate=args.index_rate, protect=args.protect)
+    rvc.infer_file(args.output_tts_path, args.output_path,
+                   **_infer_kwargs(args))
     print(f"wrote {args.output_path}")
+
+
+def cmd_tensorboard(args):
+    """Reference `rvc_cli.py tensorboard` parity: launch tensorboard when
+    installed; otherwise plot the JSONL tracker curves."""
+    try:
+        import subprocess
+
+        import tensorboard  # noqa: F401
+
+        subprocess.run([sys.executable, "-m", "tensorboard.main",
+                        "--logdir", args.logs_path], check=True)
+        return
+    except Exception as e:  # not installed, or launcher fails in-env
+        print(f"tensorboard unavailable ({e.__class__.__name__}); "
+              "falling back to JSONL curve plots", file=sys.stderr)
+    import glob
+
+    from rvc_tpu.tools.plot_logs import plot
+
+    logs = sorted(glob.glob(os.path.join(args.logs_path, "**", "*.jsonl"),
+                            recursive=True))
+    if os.path.isfile(args.logs_path):
+        logs = [args.logs_path]
+    if not logs:
+        print(f"no tensorboard and no .jsonl tracker logs under "
+              f"{args.logs_path!r}", file=sys.stderr)
+        sys.exit(2)
+    for log in logs:
+        print(plot(log, args.out_path))
 
 
 def cmd_audio_analyzer(args):
@@ -319,6 +421,14 @@ def main(argv=None):
     p.add_argument("--pretraineds_hifigan", action="store_true")
     p.add_argument("--models", action="store_true", default=True)
     p.set_defaults(fn=cmd_prerequisites)
+
+    p = sub.add_parser(
+        "tensorboard",
+        help="launch tensorboard on the logs dir, or render the JSONL "
+             "tracker curves to a PNG when tensorboard is unavailable")
+    p.add_argument("--logs_path", default="logs")
+    p.add_argument("--out_path", default=None)
+    p.set_defaults(fn=cmd_tensorboard)
 
     args = parser.parse_args(argv)
     if args.device:

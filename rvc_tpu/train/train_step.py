@@ -73,10 +73,14 @@ def make_optimizers(cfg: RVCConfig, steps_per_epoch: int = 100):
         decay_rate=cfg.train.lr_decay, staircase=True)
 
     def adamw(sched):
+        # use_bf16 keeps first-moment state in bf16 — the reference's
+        # AnyPrecisionAdamW memory saving (`rvc/train/anyprecision_optimizer.py:19`)
+        mu_dtype = jnp.bfloat16 if cfg.train.use_bf16 else None
         return optax.chain(
             optax.clip_by_global_norm(1.0),
             optax.adamw(sched, b1=cfg.train.betas[0], b2=cfg.train.betas[1],
-                        eps=cfg.train.eps, weight_decay=0.01),
+                        eps=cfg.train.eps, weight_decay=0.01,
+                        mu_dtype=mu_dtype),
         )
 
     return adamw(lr), adamw(d_lr)

@@ -117,6 +117,47 @@ def test_cli_parses(tmp_path):
         main(["infer"])  # missing required args
 
 
+def test_cli_infer_flag_surface(tmp_path):
+    """The infer subcommand accepts the reference's full flag set
+    (`rvc_cli.py:633-1157`) and maps cleanly onto RVC.infer kwargs."""
+    from rvc_tpu.cli import _add_infer_args, _infer_kwargs
+    import argparse
+    import inspect
+
+    from rvc_tpu.api import RVC
+
+    p = argparse.ArgumentParser()
+    _add_infer_args(p)
+    args = p.parse_args([
+        "--input_path", "a.wav", "--output_path", "b.wav",
+        "--model_path", "m.safetensors",
+        "--f0_method", "hybrid[rmvpe+crepe]",
+        "--split_audio", "--clean_audio", "--clean_strength", "0.6",
+        "--export_format", "FLAC", "--formant_shifting",
+        "--formant_qfrency", "1.2", "--formant_timbre", "1.1",
+        "--proposed_pitch", "--proposed_pitch_threshold", "160",
+        "--post_process", "--reverb", "--reverb_room_size", "0.7",
+        "--compressor", "--compressor_ratio", "4",
+    ])
+    kw = _infer_kwargs(args)
+    assert kw["f0_method"] == "hybrid[rmvpe+crepe]"
+    assert kw["split_audio"] and kw["clean_audio"] and kw["post_process"]
+    assert kw["reverb"] and kw["compressor_ratio"] == 4
+
+    # every non-FX kwarg must be a real RVC.infer / infer_file parameter
+    sig = set(inspect.signature(RVC.infer).parameters)
+    from rvc_tpu.cli import _FX_KEYS
+    for k in kw:
+        if k in _FX_KEYS or k == "export_format":  # export handled by infer_file
+            continue
+        assert k in sig, f"CLI kwarg {k!r} not accepted by RVC.infer"
+
+    # hybrid validation rejects garbage
+    with pytest.raises(SystemExit):
+        p.parse_args(["--input_path", "a", "--output_path", "b",
+                      "--model_path", "m", "--f0_method", "bogus"])
+
+
 def test_analyze_audio(tmp_path, sine_wave):
     from rvc_tpu.utils.audio import save_wav
     from rvc_tpu.tools.model_tools import analyze_audio
