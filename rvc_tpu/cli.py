@@ -261,7 +261,10 @@ def cmd_train(args):
 
     exp_dir = os.path.join(args.logs_dir, args.model_name)
     cfg = get_config(args.sample_rate, train_batch_size=args.batch_size,
-                     train_warmup_epochs=args.warmup_epochs)
+                     train_warmup_epochs=args.warmup_epochs,
+                     train_d_step_per_g_step=args.d_step_per_g_step,
+                     model_vocoder=args.vocoder,
+                     model_checkpointing=args.checkpointing)
     rows = DatasetBuilder.read_filelist(os.path.join(exp_dir, "filelist_train.txt"))
     # reattach n_frames for bucketing
     import numpy as np
@@ -273,7 +276,11 @@ def cmd_train(args):
     loader = DataLoader(ds, args.batch_size)
     trainer = RVCTrainer(cfg, loader, checkpoint_dir=os.path.join(exp_dir, "ckpt"),
                          use_overtraining_detector=args.overtraining_detector,
-                         overtraining_threshold=args.overtraining_threshold)
+                         overtraining_threshold=args.overtraining_threshold,
+                         save_only_latest=args.save_only_latest,
+                         save_every_weights=args.save_every_weights,
+                         cache_data_on_device=args.cache_data_in_gpu,
+                         model_name=args.model_name)
     if args.g_pretrained_path or args.d_pretrained_path:
         trainer.load_pretrained(args.g_pretrained_path, args.d_pretrained_path)
     result = trainer.train(args.total_epoch, save_every=args.save_every_epoch)
@@ -403,6 +410,15 @@ def main(argv=None):
     p.add_argument("--overtraining_detector", action="store_true")
     p.add_argument("--overtraining_threshold", type=int, default=50)
     p.add_argument("--logs_dir", default="logs")
+    p.add_argument("--save_only_latest", action="store_true")
+    p.add_argument("--save_every_weights", action="store_true")
+    p.add_argument("--cache_data_in_gpu", action="store_true",
+                   help="keep collated batches device-resident across epochs")
+    p.add_argument("--d_step_per_g_step", type=int, default=1)
+    p.add_argument("--vocoder", default="HiFi-GAN",
+                   choices=["HiFi-GAN", "MRF HiFi-GAN", "RefineGAN"])
+    p.add_argument("--checkpointing", action="store_true",
+                   help="rematerialize the decoder (activation checkpointing)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("index")

@@ -75,6 +75,7 @@ class TrainConfig:
     warmup_epochs: int = 0
     d_lr_scale: float = 1.0
     d_loss_threshold: float = 0.0  # skip D update while its loss < threshold (0 = off)
+    d_step_per_g_step: int = 1     # extra D updates per G update (rvc/train/train.py)
     grad_clip_norm: float = 1000.0
     use_bf16: bool = True
 

@@ -193,20 +193,24 @@ def make_train_step(
 
         y_hat = jax.lax.stop_gradient(aux["y_hat"])
         wave_real = jax.lax.stop_gradient(aux["wave_real"])
-        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
-            state.d_params, wave_real, y_hat)
-        d_grads = sanitize_grads(d_grads)
+        d_params, d_opt = state.d_params, state.d_opt
+        # d_step_per_g_step (`rvc/train/train.py` d_step loop): K D updates
+        # per G update on the generated segment (static unroll, K is small)
+        for _ in range(max(cfg.train.d_step_per_g_step, 1)):
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
+                d_params, wave_real, y_hat)
+            d_grads = sanitize_grads(d_grads)
 
-        # d_loss_threshold gating (`trainer.py:453`): skip the D update
-        # while its loss is under threshold (0 disables the gate)
-        gate = jnp.where(
-            cfg.train.d_loss_threshold > 0,
-            (d_loss >= cfg.train.d_loss_threshold).astype(jnp.float32),
-            1.0,
-        )
-        d_grads = jax.tree.map(lambda g: g * gate, d_grads)
-        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
-        d_params = optax.apply_updates(state.d_params, d_updates)
+            # d_loss_threshold gating (`trainer.py:453`): skip the D update
+            # while its loss is under threshold (0 disables the gate)
+            gate = jnp.where(
+                cfg.train.d_loss_threshold > 0,
+                (d_loss >= cfg.train.d_loss_threshold).astype(jnp.float32),
+                1.0,
+            )
+            d_grads = jax.tree.map(lambda g: g * gate, d_grads)
+            d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
+            d_params = optax.apply_updates(d_params, d_updates)
 
         metrics = dict(
             loss_g_total=g_total, loss_d=d_loss,

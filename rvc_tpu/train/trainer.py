@@ -38,6 +38,10 @@ class RVCTrainer:
         overtraining_threshold: int = 50,
         mesh=None,
         freeze_encoder: bool = False,
+        save_only_latest: bool = False,
+        save_every_weights: bool = False,
+        cache_data_on_device: bool = False,
+        model_name: str = "model",
     ):
         self.cfg = cfg
         self.train_loader = train_loader
@@ -59,6 +63,15 @@ class RVCTrainer:
         self.best_loss = float("inf")
         self._rng = jax.random.PRNGKey(seed + 1)
         self._log_path = os.path.join(checkpoint_dir, "train_log.jsonl")
+        # reference flags: fixed-name checkpoints (save_only_latest, the
+        # torch trainer's `2333333.pth` mode), per-save inference export
+        # (save_every_weights), device-resident batch cache
+        # (cache_data_in_gpu, `rvc/train/train.py`)
+        self.save_only_latest = save_only_latest
+        self.save_every_weights = save_every_weights
+        self.cache_data_on_device = cache_data_on_device
+        self.model_name = model_name
+        self._device_batches = None
 
     # ------------------------------------------------------------------
     def _get_step_fn(self, adversarial: bool):
@@ -190,12 +203,28 @@ class RVCTrainer:
         return path
 
     # ------------------------------------------------------------------
+    def _batches(self):
+        """Iterate the epoch's batches; with cache_data_on_device the
+        first epoch's collated batches stay device-resident and later
+        epochs skip host collation + upload entirely."""
+        if not self.cache_data_on_device:
+            self.train_loader.set_epoch(self.epoch)
+            yield from self.train_loader
+            return
+        if self._device_batches is None:
+            self.train_loader.set_epoch(0)
+            self._device_batches = [
+                jax.tree.map(jax.numpy.asarray, b) for b in self.train_loader]
+        order = np.random.default_rng(self.epoch).permutation(
+            len(self._device_batches))
+        for i in order:
+            yield self._device_batches[i]
+
     def train_epoch(self, adversarial: bool = True) -> dict:
         step_fn = self._get_step_fn(adversarial)
-        self.train_loader.set_epoch(self.epoch)
         agg = {}
         n = 0
-        for batch in self.train_loader:
+        for batch in self._batches():
             self._rng, sub = jax.random.split(self._rng)
             self.state, metrics = step_fn(self.state, batch, sub)
             n += 1
@@ -226,7 +255,11 @@ class RVCTrainer:
                 break
             self.epoch += 1
             if self.epoch % save_every == 0:
-                self.save_checkpoint()
+                self.save_checkpoint("latest" if self.save_only_latest else None)
+                if self.save_every_weights:
+                    self.export_inference_model(os.path.join(
+                        self.checkpoint_dir,
+                        f"{self.model_name}_{self.epoch}e.safetensors"))
                 self.render_eval_audio()
         self.save_checkpoint("last")
         return {"epochs_run": len(history), "history": history,

@@ -81,3 +81,30 @@ def test_trainer_epochs_and_checkpoint(tiny_setup):
     with open(os.path.join(ckpt, "final.json")) as f:
         side = json.load(f)
     assert side["data"]["sample_rate"] == 32000
+
+
+@pytest.mark.slow
+def test_trainer_reference_flags(tmp_path):
+    """save_only_latest / save_every_weights / cache_data_on_device /
+    d_step_per_g_step (reference rvc/train/train.py flag parity)."""
+    cfg = get_config(32000, model_spk_embed_dim=2, model_n_layers=1,
+                     model_upsample_initial_channel=64,
+                     train_segment_size=320 * 12, train_batch_size=2,
+                     train_d_step_per_g_step=2)
+    ds = FakeDataset(4, 50, cfg)
+    loader = DataLoader(ds, batch_size=2, drop_last=True)
+    ckpt = str(tmp_path / "ckpt")
+    tr = RVCTrainer(cfg, loader, checkpoint_dir=ckpt, seed=0,
+                    save_only_latest=True, save_every_weights=True,
+                    cache_data_on_device=True, model_name="tiny")
+    result = tr.train(epochs=2, save_every=1, warmup_epochs=0)
+    assert result["epochs_run"] == 2
+    files = set(os.listdir(ckpt))
+    # fixed-name checkpoint instead of per-epoch names
+    assert "latest_G.safetensors" in files
+    assert not any(f.startswith("epoch_") and f.endswith("_G.safetensors")
+                   for f in files)
+    # per-save inference export
+    assert "tiny_1e.safetensors" in files and "tiny_2e.safetensors" in files
+    # device cache populated and reused
+    assert tr._device_batches is not None and len(tr._device_batches) == 2
