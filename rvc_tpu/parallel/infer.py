@@ -21,6 +21,9 @@ from rvc_tpu.pipelines.offline import (
     WINDOW,
     F0_MIN,
     F0_MAX,
+    _cast_float_tree,
+    _compute_dtype,
+    _f16_out,
     _upsample_protect,
     autotune_f0_jnp,
     coarse_f0_jnp,
@@ -64,9 +67,18 @@ class BatchConverter:
             f0 = jnp.where((f0 >= F0_MIN) & (f0 <= F0_MAX), f0, 0.0)
             return f0 * 2.0 ** (pitch_shift / 12.0)
 
+        compute_dtype = _compute_dtype()
+        f16_out = _f16_out()
+
         def fn_conv(synth_vars, hubert_vars, audio, f0, sid, protect):
             T = audio.shape[1]
             p_len0 = T // WINDOW
+            if compute_dtype != jnp.float32:
+                # same bf16 policy as the offline fused path (f32 decoder
+                # activations are enforced inside Synthesizer.infer)
+                audio = audio.astype(compute_dtype)
+                synth_vars = _cast_float_tree(synth_vars, compute_dtype)
+                hubert_vars = _cast_float_tree(hubert_vars, compute_dtype)
             feats = hubert.apply(hubert_vars, audio, output_hidden_states=True)
             t_feat = feats.shape[1] * 2
             if p_len0 >= t_feat:
@@ -78,7 +90,8 @@ class BatchConverter:
             lengths = jnp.full((audio.shape[0],), t_feat, dtype=jnp.int32)
             wave, _ = synth.apply(synth_vars, feats_up, lengths, pitch, f0,
                                   sid, method=synth.infer)
-            return wave[:, :, 0]
+            wave = wave[:, :, 0]
+            return wave.astype(jnp.float16) if f16_out else wave.astype(jnp.float32)
 
         self._f0_fn = jax.jit(
             fn_f0,
