@@ -277,6 +277,30 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, x_mask: Optional[jax.Array] = None) -> jax.Array:
+        if x_mask is None and not self.is_initializing():
+            from rvc_tpu.ops.pallas.resblock import (
+                fused_resblock_enabled,
+                resblock_chain,
+            )
+
+            if fused_resblock_enabled():
+                # params were created by the standard path during init;
+                # read them directly and run the fused Pallas chain
+                # (custom_vjp: XLA backward, so training still works)
+                w1 = jnp.stack([self.scope.get_variable("params", f"convs1_{i}")["weight"]
+                                for i in range(len(self.dilations))])
+                b1 = jnp.stack([self.scope.get_variable("params", f"convs1_{i}")["bias"]
+                                for i in range(len(self.dilations))])
+                w2 = jnp.stack([self.scope.get_variable("params", f"convs2_{i}")["weight"]
+                                for i in range(len(self.dilations))])
+                b2 = jnp.stack([self.scope.get_variable("params", f"convs2_{i}")["bias"]
+                                for i in range(len(self.dilations))])
+                out = resblock_chain(
+                    x.astype(jnp.float32), w1.astype(jnp.float32),
+                    b1.astype(jnp.float32), w2.astype(jnp.float32),
+                    b2.astype(jnp.float32), self.kernel_size,
+                    tuple(self.dilations))
+                return out.astype(x.dtype)
         for i, d in enumerate(self.dilations):
             res = x
             x = leaky_relu(x)
