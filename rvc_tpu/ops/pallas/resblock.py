@@ -1,18 +1,31 @@
-"""Fused HiFi-GAN ResBlock Pallas kernel.
+"""Fused HiFi-GAN ResBlock Pallas kernel (packed-lane layout).
 
 The decoder's resblocks are the pipeline's memory-traffic hot spot: each
 ResBlock is 6 audio-rate convs (3 dilation stages x [LReLU -> dilated
 conv -> LReLU -> conv -> add]), and XLA executes them as ~12 HBM passes
 over a tensor that is up to 648k samples long (measured 42 GB accessed /
 64 ms for one 13.5 s clip = 80% of v5e HBM peak). This kernel computes
-the ENTIRE residual chain for one kernel-size branch in a single pass:
-the tile (plus a halo covering the chain's receptive field) lives in
-VMEM, each conv is a k-tap sum of shifted (T, C) @ (C, C) MXU matmuls,
-and HBM sees one read + one write.
+the ENTIRE residual chain in a single pass: the tile (plus a halo
+covering the chain's receptive field) lives in VMEM, each conv is a
+tap-bank sum of row-shifted (T, C) @ (C, C) MXU matmuls, and HBM sees
+one read + one write.
+
+Packed-lane layout: the late decoder stages have C = 32/64 channels,
+which would waste 4x/2x of every 128-lane MXU pass. Instead, P = 128/C
+consecutive time steps are folded into the lane dimension (row r holds
+times [rP, rP+P), lanes grouped [t0 c0..c_C | t1 c0..c_C | ...]), and a
+k-tap dilated conv becomes a sum over ROW shifts s of
+`x_packed[r+s] @ W_s`, where W_s is a (PC, PC) block matrix holding
+tap w[tau] at block (in_slot q, out_slot p) whenever the tap's time
+offset lands in (row shift s, slot q) from output slot p. The tap banks
+are built in XLA from the conv weights (one einsum per conv against a
+constant 0/1 placement tensor). For k=11/d=5 at C=32 this is 6x fewer
+MXU+roll passes than lane-padding to 128.
 
 Semantics match `rvc_tpu/models/layers.py:ResBlock` (reference
 `rvc_mlx/lib/mlx/residuals.py:7`) with x_mask=None, including the
-zero-padding of each conv's input at the sequence boundary.
+zero-padding of each conv's input at the sequence boundary (enforced
+in-kernel with a per-lane time-validity mask).
 """
 
 from __future__ import annotations
@@ -23,54 +36,97 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 
 
-def _reach(kernel_size: int, dilations: Sequence[int]) -> int:
-    """Receptive-field halo of the full chain: per stage, the dilated
-    conv reaches (k-1)/2*d and the plain conv another (k-1)/2."""
+def _sub_channels(C: int) -> int:
+    """Smallest C' >= C with 128 % C' == 0 (or C rounded up to a lane
+    multiple when C > 128)."""
+    if C > LANE:
+        return ((C + LANE - 1) // LANE) * LANE
+    for cp in (8, 16, 32, 64, 128):
+        if cp >= C:
+            return cp
+    return LANE
+
+
+def _shift_sets(kernel_size: int, dilation: int, pack: int):
+    """Row shifts s (sorted) with at least one tap landing there, plus
+    the (tau, p, s, q) placement list."""
     c = (kernel_size - 1) // 2
-    return sum(c * d + c for d in dilations)
+    placements = []
+    for tau in range(kernel_size):
+        off = (tau - c) * dilation
+        for p in range(pack):
+            s, q = divmod(p + off, pack)
+            placements.append((tau, p, s, q))
+    shifts = sorted({s for (_, _, s, _) in placements})
+    return tuple(shifts), placements
 
 
-def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xbuf, sem,
-            *, kernel_size: int, dilations: Sequence[int], slope: float,
-            tile: int, halo: int, t_valid: int):
+def _placement_tensor(kernel_size, dilation, pack, cprime, dtype=jnp.float32):
+    """Constant sel[tau, j, q, p] = 1 where tap tau maps output slot p to
+    (row shift shifts[j], input slot q)."""
+    shifts, placements = _shift_sets(kernel_size, dilation, pack)
+    j_of = {s: j for j, s in enumerate(shifts)}
+    sel = np.zeros((kernel_size, len(shifts), pack, pack), np.float32)
+    for tau, p, s, q in placements:
+        sel[tau, j_of[s], q, p] = 1.0
+    return shifts, jnp.asarray(sel, dtype)
+
+
+def _pack_conv(w, kernel_size, dilation, pack, cprime):
+    """(K, C, C) conv weight -> (J, pack*C', pack*C') packed tap bank."""
+    K, C = w.shape[0], w.shape[1]
+    if C != cprime:
+        w = jnp.pad(w, ((0, 0), (0, cprime - C), (0, cprime - C)))
+    shifts, sel = _placement_tensor(kernel_size, dilation, pack, cprime,
+                                    w.dtype)
+    # bank[j, q*C'+i, p*C'+o] = sum_tau sel[tau,j,q,p] * w[tau,i,o]
+    bank = jnp.einsum("tjqp,tio->jqipo", sel, w)
+    return shifts, bank.reshape(len(shifts), pack * cprime, pack * cprime)
+
+
+def _kernel(x_ref, bank_ref, b1_ref, b2_ref, out_ref, xbuf, sem, *,
+            meta, slope: float, tile: int, halo: int, t_valid: int,
+            pack: int, cprime: int):
     i = pl.program_id(0)
-    k = kernel_size
-    c = (k - 1) // 2
     W = tile + 2 * halo
+    PC = pack * cprime
 
     dma = pltpu.make_async_copy(
         x_ref.at[0, pl.ds(i * tile, W), :], xbuf, sem)
     dma.start()
     dma.wait()
 
-    # rows outside the true sequence must read as zero for every conv
-    # input ('same' zero padding at the boundary)
-    g = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0) + i * tile - halo
-    inseq = jnp.logical_and(g >= 0, g < t_valid)
+    # per-lane time validity: row r covers times [r*P, r*P+P); lanes
+    # outside [0, T) must read as zero for every conv input ('same'
+    # zero padding at the sequence boundary)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (W, PC), 0) + i * tile - halo
+    slot = jax.lax.broadcasted_iota(jnp.int32, (W, PC), 1) // cprime
+    time = rows * pack + slot
+    inseq = jnp.logical_and(time >= 0, time < t_valid)
 
     cur = xbuf[:]
-    for s, d in enumerate(dilations):
+    for s, (off1, shifts1, off2, shifts2) in enumerate(meta):
         y = jnp.where(cur > 0, cur, slope * cur)
         y = jnp.where(inseq, y, 0.0)  # f32: Mosaic rotate needs 32-bit
         acc = jnp.broadcast_to(b1_ref[s][None, :], cur.shape).astype(jnp.float32)
-        for tau in range(k):
-            shift = (-(tau - c) * d) % W  # roll(y, s)[t] = y[t - s]
-            tap = pltpu.roll(y, shift, axis=0).astype(jnp.bfloat16)
-            acc = acc + jnp.dot(tap, w1_ref[s, tau],
+        for j, sh in enumerate(shifts1):
+            # roll(y, m)[r] = y[r - m]; tap needs y[r + sh]
+            tap = pltpu.roll(y, (-sh) % W, axis=0).astype(jnp.bfloat16)
+            acc = acc + jnp.dot(tap, bank_ref[off1 + j],
                                 preferred_element_type=jnp.float32)
         y2 = jnp.where(acc > 0, acc, slope * acc)
         y2 = jnp.where(inseq, y2, 0.0)
         acc2 = jnp.broadcast_to(b2_ref[s][None, :], cur.shape).astype(jnp.float32)
-        for tau in range(k):
-            shift = (-(tau - c)) % W
-            tap = pltpu.roll(y2, shift, axis=0).astype(jnp.bfloat16)
-            acc2 = acc2 + jnp.dot(tap, w2_ref[s, tau],
+        for j, sh in enumerate(shifts2):
+            tap = pltpu.roll(y2, (-sh) % W, axis=0).astype(jnp.bfloat16)
+            acc2 = acc2 + jnp.dot(tap, bank_ref[off2 + j],
                                   preferred_element_type=jnp.float32)
         cur = cur + acc2
     out_ref[:] = cur[halo:halo + tile, :][None]
@@ -100,29 +156,56 @@ def fused_resblock(
     S, K = w1.shape[0], w1.shape[1]
     assert K == kernel_size and S == len(dilations)
 
-    Cp = max(LANE, ((C + LANE - 1) // LANE) * LANE)
-    halo = ((_reach(kernel_size, dilations) + 7) // 8) * 8
-    # tile sizes chosen to keep the kernel's live temporaries (~5 (W, Cp)
-    # f32 buffers + out tile + weight taps) inside the 16 MB scoped-VMEM
-    # stack; 4096x128 measured 23 MB and OOMed at compile time
-    tile = 1024 if Cp > LANE else 2048
-    n_t = max(1, math.ceil(T / tile))
+    cprime = _sub_channels(C)
+    pack = max(1, LANE // cprime)
+    PC = pack * cprime
 
-    if Cp != C:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, Cp - C)))
-        w1 = jnp.pad(w1, ((0, 0), (0, 0), (0, Cp - C), (0, Cp - C)))
-        w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, Cp - C), (0, Cp - C)))
-        b1 = jnp.pad(b1, ((0, 0), (0, Cp - C)))
-        b2 = jnp.pad(b2, ((0, 0), (0, Cp - C)))
-    # front halo + tail out to n_t*tile + 2*halo
-    tail = n_t * tile + halo - T
-    xp = jnp.pad(x, ((0, 0), (halo, tail), (0, 0)))
+    # packed tap banks, one per conv, concatenated (static offsets)
+    banks, meta, off = [], [], 0
+    for s, d in enumerate(dilations):
+        sh1, bank1 = _pack_conv(w1[s], kernel_size, d, pack, cprime)
+        sh2, bank2 = _pack_conv(w2[s], kernel_size, 1, pack, cprime)
+        banks += [bank1, bank2]
+        meta.append((off, sh1, off + len(sh1), sh2))
+        off += len(sh1) + len(sh2)
+    bank = jnp.concatenate(banks, axis=0).astype(jnp.bfloat16)
+
+    if cprime != C:
+        b1 = jnp.pad(b1, ((0, 0), (0, cprime - C)))
+        b2 = jnp.pad(b2, ((0, 0), (0, cprime - C)))
+    b1p = jnp.tile(b1, (1, pack)).astype(jnp.float32)   # (S, PC)
+    b2p = jnp.tile(b2, (1, pack)).astype(jnp.float32)
+
+    # rows of packed layout; halo covers the chain's receptive field in
+    # row units (sum over convs of the largest row shift)
+    reach_rows = sum(
+        max(abs(sh1[0]), abs(sh1[-1])) + max(abs(sh2[0]), abs(sh2[-1]))
+        for (_, sh1, _, sh2) in meta)
+    halo = ((reach_rows + 7) // 8) * 8
+    # tile sized to keep the kernel's live temporaries (~5 (W, PC) f32
+    # buffers + out tile + tap banks) inside the 16 MB scoped-VMEM stack
+    # (2048x128 with a >48-tap bank measured 16.8 MB and OOMed)
+    if PC > LANE:
+        tile = 1024
+    else:
+        tile = 2048 if off <= 48 else 1536
+
+    R = math.ceil(T / pack)
+    if cprime != C:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, cprime - C)))
+    if R * pack != T:
+        x = jnp.pad(x, ((0, 0), (0, R * pack - T), (0, 0)))
+    xp = x.reshape(B, R, PC)
+
+    n_t = max(1, math.ceil(R / tile))
+    tail = n_t * tile + halo - R        # front halo + tail padding
+    xp = jnp.pad(xp, ((0, 0), (halo, tail), (0, 0)))
 
     kern = functools.partial(
-        _kernel, kernel_size=kernel_size, dilations=tuple(dilations),
-        slope=slope, tile=tile, halo=halo, t_valid=T)
+        _kernel, meta=tuple(meta), slope=slope, tile=tile, halo=halo,
+        t_valid=T, pack=pack, cprime=cprime)
 
-    def one(batch_row):  # (1, Tp, Cp)
+    def one(batch_row):  # (1, Rp, PC)
         return pl.pallas_call(
             kern,
             grid=(n_t,),
@@ -131,20 +214,19 @@ def fused_resblock(
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, tile, Cp), lambda i: (0, i, 0),
+            out_specs=pl.BlockSpec((1, tile, PC), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((1, n_t * tile, Cp), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((1, n_t * tile, PC), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((tile + 2 * halo, Cp), jnp.float32),
+                pltpu.VMEM((tile + 2 * halo, PC), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
-        )(batch_row, w1.astype(jnp.bfloat16), b1.astype(jnp.float32),
-          w2.astype(jnp.bfloat16), b2.astype(jnp.float32))
+        )(batch_row, bank, b1p, b2p)
 
     out = jnp.concatenate([one(xp[b:b + 1]) for b in range(B)], axis=0)
+    out = out[:, :R, :].reshape(B, R * pack, cprime)
     return out[:, :T, :C]
 
 

@@ -32,6 +32,9 @@ def timed(fn, *args, n=20):
 
 
 def main():
+    import os
+
+    os.environ["RVC_TPU_PALLAS_RESBLOCK"] = "0"  # keep flax apply on XLA
     dil = (1, 3, 5)
     stages = [(16200, 256), (162000, 128), (324000, 64), (648000, 32)]
     rng = np.random.default_rng(0)
