@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rvc_tpu.models.layers import BatchNorm, Conv2d, ConvTranspose2d, Linear
-from rvc_tpu.ops.gru import gru
+from rvc_tpu.ops.gru import bigru
 from rvc_tpu.ops.stft import log_mel_spectrogram
 
 N_MELS = 128
@@ -164,9 +164,9 @@ class E2E(nn.Module):
                 "bias_ih": self.param("gru_bwd_bias_ih", nn.initializers.zeros, (3 * self.gru_hidden,)),
                 "bias_hh": self.param("gru_bwd_bias_hh", nn.initializers.zeros, (3 * self.gru_hidden,)),
             }
-            f = gru(x, fwd["weight_ih"], fwd["weight_hh"], fwd["bias_ih"], fwd["bias_hh"])
-            b = gru(x, bwd["weight_ih"], bwd["weight_hh"], bwd["bias_ih"], bwd["bias_hh"], reverse=True)
-            x = jnp.concatenate([f, b], axis=-1)
+            # fused-direction BiGRU: one scan instead of two (the scan's
+            # sequential steps are the f0 program's latency bottleneck)
+            x = bigru(x, fwd, bwd)
             x = Linear(2 * self.gru_hidden, N_CLASS, name="fc")(x)
         else:
             x = Linear(3 * M, N_CLASS, name="fc")(x)

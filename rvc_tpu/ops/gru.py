@@ -73,20 +73,46 @@ def bigru(
 
     Each params dict holds weight_ih (3H, In), weight_hh (3H, H) and
     optionally bias_ih / bias_hh (3H,). Output: (B, T, 2H).
+
+    TPU design: both directions run in ONE `lax.scan` — the backward
+    direction consumes the time-reversed input and the per-direction
+    recurrent matmuls batch into a single (2, B, H) x (2, H, 3H) einsum.
+    The scan is the sequential bottleneck (per-step work is tiny at
+    B=1), so halving the step count halves the BiGRU's wall time.
+    Numerics are identical to two independent scans.
     """
-    fwd = gru(
-        x,
-        fwd_params["weight_ih"],
-        fwd_params["weight_hh"],
-        fwd_params.get("bias_ih"),
-        fwd_params.get("bias_hh"),
-    )
-    bwd = gru(
-        x,
-        bwd_params["weight_ih"],
-        bwd_params["weight_hh"],
-        bwd_params.get("bias_ih"),
-        bwd_params.get("bias_hh"),
-        reverse=True,
-    )
+    B, T, _ = x.shape
+    H = fwd_params["weight_hh"].shape[1]
+
+    wi = jnp.stack([fwd_params["weight_ih"], bwd_params["weight_ih"]])  # (2,3H,In)
+    whh_t = jnp.stack([fwd_params["weight_hh"].T,
+                       bwd_params["weight_hh"].T])                      # (2,H,3H)
+
+    xw = jnp.einsum("bti,dgi->dbtg", x, wi)  # (2, B, T, 3H)
+    b_ih = [p.get("bias_ih") for p in (fwd_params, bwd_params)]
+    if b_ih[0] is not None:
+        xw = xw + jnp.stack(b_ih)[:, None, None, :]
+    b_hh = [p.get("bias_hh") for p in (fwd_params, bwd_params)]
+    bias_hh = jnp.stack(b_hh)[:, None, :] if b_hh[0] is not None else None
+
+    # xs[t, 0] = fwd input at t; xs[t, 1] = bwd input at T-1-t
+    xs = jnp.stack([xw[0], xw[1, :, ::-1]], axis=0)        # (2, B, T, 3H)
+    xs = jnp.moveaxis(xs, 2, 0)                            # (T, 2, B, 3H)
+    h0 = jnp.zeros((2, B, H), dtype=x.dtype)
+
+    def step(h, xw_t):
+        hw = jnp.einsum("dbh,dhg->dbg", h, whh_t)
+        if bias_hh is not None:
+            hw = hw + bias_hh
+        xr, xz, xn = jnp.split(xw_t, 3, axis=-1)
+        hr, hz, hn = jnp.split(hw, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    _, ys = lax.scan(step, h0, xs)                         # (T, 2, B, H)
+    fwd = jnp.moveaxis(ys[:, 0], 0, 1)                     # (B, T, H)
+    bwd = jnp.moveaxis(ys[:, 1], 0, 1)[:, ::-1]
     return jnp.concatenate([fwd, bwd], axis=-1)

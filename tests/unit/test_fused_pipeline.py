@@ -63,6 +63,24 @@ def test_fused_autotune_and_shift(tiny_rvc, sine_wave):
 
 
 @pytest.mark.slow
+def test_f16_input_matches_f32(tiny_rvc, sine_wave, monkeypatch):
+    """RVC_TPU_F16_IN=1 (default; f16 audio upload) must be waveform-
+    indistinguishable from uploading f32: the input is in [-1, 1] where
+    f16 quantization is ~1e-4 absolute."""
+    y, _ = sine_wave
+    chunk = y[:14080]
+    monkeypatch.setenv("RVC_TPU_F16_OUT", "0")
+    monkeypatch.setenv("RVC_TPU_F16_IN", "0")
+    out32 = tiny_rvc.infer(chunk, f0_method="rmvpe")
+    monkeypatch.setenv("RVC_TPU_F16_IN", "1")
+    out16 = tiny_rvc.infer(chunk, f0_method="rmvpe")
+
+    n = min(len(out32), len(out16))
+    corr = np.corrcoef(out32[:n], out16[:n])[0, 1]
+    assert corr > 0.9999, f"f16-in/f32-in waveform corr {corr:.6f}"
+
+
+@pytest.mark.slow
 def test_bf16_policy_matches_f32(tiny_rvc, sine_wave, monkeypatch):
     """RVC_TPU_BF16=1 (bf16 HuBERT/enc_p/flow, f32 decoder activations)
     must be spectrally indistinguishable from the f32 path."""
