@@ -34,7 +34,8 @@ class MultiHeadAttention(nn.Module):
     window_size: int = 10
 
     @nn.compact
-    def __call__(self, x: jax.Array, attn_mask: Optional[jax.Array] = None) -> jax.Array:
+    def __call__(self, x: jax.Array, attn_mask: Optional[jax.Array] = None,
+                 key_mask: Optional[jax.Array] = None) -> jax.Array:
         B, T, _ = x.shape
         H, D = self.n_heads, self.channels // self.n_heads
         q = Conv1d(self.channels, self.channels, 1, name="conv_q")(x)
@@ -52,7 +53,7 @@ class MultiHeadAttention(nn.Module):
         out = relative_attention(
             split_heads(q), split_heads(k), split_heads(v),
             emb_rel_k.astype(x.dtype), emb_rel_v.astype(x.dtype),
-            self.window_size, attn_mask,
+            self.window_size, attn_mask, key_mask=key_mask,
         )
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.channels)
         return Conv1d(self.channels, self.out_channels, 1, name="conv_o")(out)
@@ -91,11 +92,11 @@ class AttentionEncoder(nn.Module):
     def __call__(self, x: jax.Array, x_mask: jax.Array) -> jax.Array:
         # x: (B, T, C); x_mask: (B, T, 1)
         m = x_mask[:, :, 0]  # (B, T)
-        attn_mask = (m[:, None, None, :] * m[:, None, :, None])  # (B, 1, T, T)
         x = x * x_mask
         for i in range(self.n_layers):
             y = MultiHeadAttention(self.hidden_channels, self.hidden_channels,
-                                   self.n_heads, name=f"attn_layers_{i}")(x, attn_mask)
+                                   self.n_heads,
+                                   name=f"attn_layers_{i}")(x, key_mask=m)
             x = LayerNorm(self.hidden_channels, name=f"norm_layers_1_{i}")(x + y)
             y = FFN(self.hidden_channels, self.hidden_channels,
                     self.filter_channels, self.kernel_size, name=f"ffn_layers_{i}")(x, x_mask)

@@ -50,13 +50,52 @@ def relative_attention(
     emb_rel_v: jax.Array,
     window_size: int,
     attn_mask: jax.Array | None = None,
+    key_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Multi-head attention with windowed relative position bias.
 
     q/k/v: (B, H, T, D); emb_rel_*: (1 or H, 2*window+1, D).
-    attn_mask: broadcastable to (B, 1|H, T, T), 1 = attend.
+    attn_mask: broadcastable to (B, 1|H, T, T), 1 = attend; key_mask:
+    (B, T) per-position validity (enables the fused TPU kernel — the two
+    are equivalent when attn_mask is the outer product of key_mask).
     Returns (B, H, T, D).
     """
+    if key_mask is not None:
+        from rvc_tpu.ops.pallas.attention import (pallas_attention_enabled,
+                                                  rel_attention)
+
+        if (pallas_attention_enabled() and 2 * window_size + 1 <= 32
+                and q.shape[-1] <= 128):
+            # platform_dependent: the Pallas kernel only lowers for TPU;
+            # any CPU lowering of the same module (e.g. param init on the
+            # CPU backend, tests) silently takes the XLA branch.
+            def _pallas(q, k, v, ek, ev, km):
+                return rel_attention(q, k, v, ek, ev, km, window_size)
+
+            def _xla(q, k, v, ek, ev, km):
+                am = km[:, None, None, :] * km[:, None, :, None]
+                return relative_attention_xla(q, k, v, ek, ev,
+                                              window_size, am)
+
+            return jax.lax.platform_dependent(
+                q, k, v, emb_rel_k, emb_rel_v, key_mask,
+                tpu=_pallas, default=_xla)
+        if attn_mask is None:
+            attn_mask = key_mask[:, None, None, :] * key_mask[:, None, :, None]
+    return relative_attention_xla(q, k, v, emb_rel_k, emb_rel_v,
+                                  window_size, attn_mask)
+
+
+def relative_attention_xla(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    emb_rel_k: jax.Array,
+    emb_rel_v: jax.Array,
+    window_size: int,
+    attn_mask: jax.Array | None = None,
+) -> jax.Array:
+    """Pure-XLA rel-pos attention (skew formulation)."""
     d = q.shape[-1]
     t = k.shape[2]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, dtype=q.dtype))

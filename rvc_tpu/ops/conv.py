@@ -71,21 +71,50 @@ def conv_transpose1d(
     """Transposed 1-D convolution with PyTorch output-size semantics.
 
     x: (B, T, Cin), w: (K, Cin, Cout) -> (B, (T-1)*stride - 2*padding + K
-    + output_padding, Cout). Implemented as an input-dilated convolution
-    with the kernel flipped along K — one MXU-friendly conv, no scatter.
+    + output_padding, Cout).
+
+    For stride > 1 this uses a polyphase decomposition: out[n*u + p] =
+    sum_m x[n - m] @ W[m*u + p], computed as ONE dense
+    (B*T, Cin) @ (Cin, K'*Cout) MXU matmul followed by contiguous
+    reshapes and M = ceil(K/u) shifted adds. The equivalent lhs-dilated
+    convolution spends u x the FLOPs multiplying inserted zeros (for the
+    NSF-HiFiGAN 48 kHz stack, u = 12/10/2/2 — a 10-12x waste on the two
+    big stages). stride == 1 falls back to the plain conv path.
     """
-    k = w.shape[0]
-    lo = k - 1 - padding
-    hi = k - 1 - padding + output_padding
-    out = lax.conv_general_dilated(
-        x,
-        jnp.flip(w, axis=0),
-        window_strides=(1,),
-        padding=[(lo, hi)],
-        lhs_dilation=(stride,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
-    )
+    k, cin, cout = w.shape
+    u = stride
+    if u == 1:
+        out = lax.conv_general_dilated(
+            x, jnp.flip(w, axis=0), window_strides=(1,),
+            padding=[(k - 1 - padding, k - 1 - padding + output_padding)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if b is not None:
+            out = out + b
+        return out.astype(x.dtype)
+
+    B, T, _ = x.shape
+    out_len = (T - 1) * u - 2 * padding + k + output_padding
+    M = -(-k // u)  # ceil(k / u)
+    if M * u != k:
+        w = jnp.pad(w, ((0, M * u - k), (0, 0), (0, 0)))
+
+    # one dense matmul: (B, T, Cin) @ (Cin, M*u*Cout)
+    z = jnp.einsum("bti,kio->btko", x, w,
+                   preferred_element_type=jnp.float32)   # (B, T, M*u, Cout)
+    z = z.reshape(B, T, M, u, cout)
+
+    # full[n*u + p] = sum_m z[n - m, m, p]: interleave each phase plane to
+    # (B, T*u, C) and overlap-add with a shift of m*u samples (static pads
+    # + adds — no scatter)
+    full_len = max((T - 1 + M) * u, padding + out_len)
+    full = None
+    for m in range(M):
+        plane = z[:, :, m].reshape(B, T * u, cout)
+        shifted = jnp.pad(plane, ((0, 0), (m * u, full_len - m * u - T * u), (0, 0)))
+        full = shifted if full is None else full + shifted
+    out = lax.slice_in_dim(full, padding, padding + out_len, axis=1)
     if b is not None:
         out = out + b
     return out.astype(x.dtype)
