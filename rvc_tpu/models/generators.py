@@ -29,6 +29,49 @@ from rvc_tpu.models.layers import (
 )
 
 
+def _stage_resblocks(module, x, chan, kernel_sizes, dilation_sizes,
+                     base_idx) -> jax.Array:
+    """Mean of one decoder stage's parallel ResBlocks.
+
+    On single-chip TPU (and C <= 128) the whole stage runs as ONE fused
+    Pallas pass (`resblock_group`): the input plane is read from HBM once
+    and all chains + the mean stay in VMEM. Elsewhere (init, CPU, C=256
+    first stage) each ResBlock runs standalone — which itself rides the
+    per-block fused kernel when enabled."""
+    n_kernels = len(kernel_sizes)
+    if not module.is_initializing():
+        from rvc_tpu.ops.pallas.resblock import (
+            LANE,
+            _sub_channels,
+            fused_resblock_enabled,
+            resblock_group,
+        )
+
+        if fused_resblock_enabled() and _sub_channels(chan) <= LANE:
+            weights = []
+            for j in range(n_kernels):
+                sub = module.scope.get_variable(
+                    "params", f"resblocks_{base_idx + j}")
+                nd = len(dilation_sizes[j])
+                for names in ("convs1", "convs2"):  # -> (w1, b1, w2, b2)
+                    weights.append(jnp.stack(
+                        [sub[f"{names}_{s}"]["weight"] for s in range(nd)]
+                    ).astype(jnp.float32))
+                    weights.append(jnp.stack(
+                        [sub[f"{names}_{s}"]["bias"] for s in range(nd)]
+                    ).astype(jnp.float32))
+            out = resblock_group(
+                x.astype(jnp.float32), tuple(weights), tuple(kernel_sizes),
+                tuple(tuple(d) for d in dilation_sizes))
+            return out.astype(x.dtype)
+    xs = None
+    for j in range(n_kernels):
+        rb = ResBlock(chan, kernel_sizes[j], tuple(dilation_sizes[j]),
+                      name=f"resblocks_{base_idx + j}")(x)
+        xs = rb if xs is None else xs + rb
+    return xs / n_kernels
+
+
 def sine_source(
     f0: jax.Array,
     upp: int,
@@ -168,13 +211,11 @@ class HiFiGANNSFGenerator(nn.Module):
                 x, n = x[:, :m], n[:, :m]
             x = x + n
 
-            xs = None
-            for j in range(n_kernels):
-                rb = ResBlock(chans[i], self.resblock_kernel_sizes[j],
-                              tuple(self.resblock_dilation_sizes[j]),
-                              name=f"resblocks_{i * n_kernels + j}")(x)
-                xs = rb if xs is None else xs + rb
-            x = xs / n_kernels
+            x = _stage_resblocks(self, x, chans[i],
+                                 tuple(self.resblock_kernel_sizes),
+                                 tuple(tuple(d) for d in
+                                       self.resblock_dilation_sizes),
+                                 i * n_kernels)
 
         x = leaky_relu(x, 0.01)  # default torch leaky_relu slope at the tail
         x = Conv1d(chans[-1], 1, 7, padding=3, use_bias=False, name="conv_post")(x)
@@ -213,13 +254,11 @@ class HiFiGANGenerator(nn.Module):
             x = leaky_relu(x)
             x = ConvTranspose1d(in_ch, chans[i], k, stride=u, padding=(k - u) // 2,
                                 weight_init_std=0.01, name=f"ups_{i}")(x)
-            xs = None
-            for j in range(n_kernels):
-                rb = ResBlock(chans[i], self.resblock_kernel_sizes[j],
-                              tuple(self.resblock_dilation_sizes[j]),
-                              name=f"resblocks_{i * n_kernels + j}")(x)
-                xs = rb if xs is None else xs + rb
-            x = xs / n_kernels
+            x = _stage_resblocks(self, x, chans[i],
+                                 tuple(self.resblock_kernel_sizes),
+                                 tuple(tuple(d) for d in
+                                       self.resblock_dilation_sizes),
+                                 i * n_kernels)
         x = leaky_relu(x, 0.01)
         x = Conv1d(chans[-1], 1, 7, padding=3, use_bias=False, name="conv_post")(x)
         return jnp.tanh(x)

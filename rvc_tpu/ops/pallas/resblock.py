@@ -230,6 +230,194 @@ def fused_resblock(
     return out[:, :T, :C]
 
 
+def _kernel_group(x_ref, bank_ref, b1_ref, b2_ref, out_ref, xbuf, sem, *,
+                  metas, slope: float, tile: int, halo: int, t_valid: int,
+                  pack: int, cprime: int):
+    """All parallel ResBlocks of one decoder stage + their mean, one pass.
+
+    metas: tuple (one per block) of per-stage (off1, shifts1, boff, off2,
+    shifts2) tuples; bias rows in b1_ref/b2_ref are indexed by the running
+    stage counter boff across blocks."""
+    i = pl.program_id(0)
+    W = tile + 2 * halo
+    PC = pack * cprime
+
+    dma = pltpu.make_async_copy(
+        x_ref.at[0, pl.ds(i * tile, W), :], xbuf, sem)
+    dma.start()
+    dma.wait()
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (W, PC), 0) + i * tile - halo
+    slot = jax.lax.broadcasted_iota(jnp.int32, (W, PC), 1) // cprime
+    time = rows * pack + slot
+    inseq = jnp.logical_and(time >= 0, time < t_valid)
+
+    acc_out = jnp.zeros((W, PC), jnp.float32)
+    for meta in metas:
+        cur = xbuf[:]
+        for (off1, shifts1, boff, off2, shifts2) in meta:
+            y = jnp.where(cur > 0, cur, slope * cur)
+            y = jnp.where(inseq, y, 0.0)
+            acc = jnp.broadcast_to(b1_ref[boff][None, :], cur.shape
+                                   ).astype(jnp.float32)
+            for j, sh in enumerate(shifts1):
+                tap = pltpu.roll(y, (-sh) % W, axis=0).astype(jnp.bfloat16)
+                acc = acc + jnp.dot(tap, bank_ref[off1 + j],
+                                    preferred_element_type=jnp.float32)
+            y2 = jnp.where(acc > 0, acc, slope * acc)
+            y2 = jnp.where(inseq, y2, 0.0)
+            acc2 = jnp.broadcast_to(b2_ref[boff][None, :], cur.shape
+                                    ).astype(jnp.float32)
+            for j, sh in enumerate(shifts2):
+                tap = pltpu.roll(y2, (-sh) % W, axis=0).astype(jnp.bfloat16)
+                acc2 = acc2 + jnp.dot(tap, bank_ref[off2 + j],
+                                      preferred_element_type=jnp.float32)
+            cur = cur + acc2
+        acc_out = acc_out + cur
+    out_ref[:] = (acc_out * (1.0 / len(metas)))[halo:halo + tile, :][None]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel_sizes", "dilations", "slope",
+                              "interpret"))
+def fused_resblock_group(
+    x: jax.Array,                       # (B, T, C) float32
+    weights: tuple,                     # flat (w1, b1, w2, b2) per block
+    kernel_sizes: tuple,                # one per block, e.g. (3, 7, 11)
+    dilations: tuple,                   # per block, e.g. ((1,3,5),)*3
+    slope: float = 0.1,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Mean of several parallel ResBlock chains (one HiFi-GAN decoder
+    stage) computed in a single Pallas pass: the input tile is read from
+    HBM once and every chain runs from the same VMEM copy, vs one
+    read+write per block plus a mean pass.
+
+    Requires pack*C' <= 128 (the C=256 first stage exceeds the VMEM
+    budget for the concatenated tap banks — use `resblock_chain` there).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, C = x.shape
+    n_blocks = len(kernel_sizes)
+    assert len(weights) == 4 * n_blocks and len(dilations) == n_blocks
+
+    cprime = _sub_channels(C)
+    pack = max(1, LANE // cprime)
+    PC = pack * cprime
+    assert PC <= LANE, "group kernel supports pack*C' <= 128 only"
+
+    banks, metas, b1_rows, b2_rows = [], [], [], []
+    off = boff = 0
+    for bi in range(n_blocks):
+        w1, b1, w2, b2 = weights[4 * bi: 4 * bi + 4]
+        K = kernel_sizes[bi]
+        meta = []
+        for s, d in enumerate(dilations[bi]):
+            sh1, bank1 = _pack_conv(w1[s], K, d, pack, cprime)
+            sh2, bank2 = _pack_conv(w2[s], K, 1, pack, cprime)
+            banks += [bank1, bank2]
+            b1_rows.append(b1[s])
+            b2_rows.append(b2[s])
+            meta.append((off, sh1, boff, off + len(sh1), sh2))
+            off += len(sh1) + len(sh2)
+            boff += 1
+        metas.append(tuple(meta))
+    bank = jnp.concatenate(banks, axis=0).astype(jnp.bfloat16)
+
+    def pad_rows(rows):
+        rows = jnp.stack(rows)
+        if cprime != C:
+            rows = jnp.pad(rows, ((0, 0), (0, cprime - C)))
+        return jnp.tile(rows, (1, pack)).astype(jnp.float32)
+
+    b1p, b2p = pad_rows(b1_rows), pad_rows(b2_rows)
+
+    reach_rows = max(
+        sum(max(abs(sh1[0]), abs(sh1[-1])) + max(abs(sh2[0]), abs(sh2[-1]))
+            for (_, sh1, _, _, sh2) in meta)
+        for meta in metas)
+    halo = ((reach_rows + 7) // 8) * 8
+    # the group kernel holds ~7 (W, 128) f32 temporaries + ALL blocks'
+    # tap banks in scoped VMEM; 1536 rows with a 126-bank stage measured
+    # 18.07 MB and OOMed the 16 MB limit -> shrink tile with bank count
+    tile = 1536 if off <= 48 else 1024
+
+    R = math.ceil(T / pack)
+    if cprime != C:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, cprime - C)))
+    if R * pack != T:
+        x = jnp.pad(x, ((0, 0), (0, R * pack - T), (0, 0)))
+    xp = x.reshape(B, R, PC)
+
+    n_t = max(1, math.ceil(R / tile))
+    tail = n_t * tile + halo - R
+    xp = jnp.pad(xp, ((0, 0), (halo, tail), (0, 0)))
+
+    kern = functools.partial(
+        _kernel_group, metas=tuple(metas), slope=slope, tile=tile,
+        halo=halo, t_valid=T, pack=pack, cprime=cprime)
+
+    def one(batch_row):
+        return pl.pallas_call(
+            kern,
+            grid=(n_t,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tile, PC), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, n_t * tile, PC), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((tile + 2 * halo, PC), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(batch_row, bank, b1p, b2p)
+
+    out = jnp.concatenate([one(xp[b:b + 1]) for b in range(B)], axis=0)
+    out = out[:, :R, :].reshape(B, R * pack, cprime)
+    return out[:, :T, :C]
+
+
+def _xla_resblock_group(x, weights, *, kernel_sizes, dilations, slope):
+    """Reference mean-of-chains in plain XLA (backward semantics)."""
+    outs = []
+    for bi in range(len(kernel_sizes)):
+        w1, b1, w2, b2 = weights[4 * bi: 4 * bi + 4]
+        outs.append(_xla_resblock(x, w1, b1, w2, b2,
+                                  kernel_size=kernel_sizes[bi],
+                                  dilations=dilations[bi], slope=slope))
+    return sum(outs) / len(outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def resblock_group(x, weights, kernel_sizes, dilations, slope=0.1):
+    """Differentiable fused stage (mean of parallel ResBlocks): Pallas
+    forward, XLA backward (remat-style), like `resblock_chain`."""
+    return fused_resblock_group(x, weights, kernel_sizes, dilations, slope)
+
+
+def _group_fwd(x, weights, kernel_sizes, dilations, slope):
+    out = fused_resblock_group(x, weights, kernel_sizes, dilations, slope)
+    return out, (x, weights)
+
+
+def _group_bwd(kernel_sizes, dilations, slope, res, g):
+    x, weights = res
+    _, vjp = jax.vjp(
+        functools.partial(_xla_resblock_group, kernel_sizes=kernel_sizes,
+                          dilations=dilations, slope=slope),
+        x, weights)
+    return vjp(g)
+
+
+resblock_group.defvjp(_group_fwd, _group_bwd)
+
+
 def fused_resblock_enabled() -> bool:
     """Default ON for single-chip TPU (where the kernel beats XLA), OFF
     elsewhere: pallas interpret mode on CPU is slow, and on multi-chip

@@ -170,6 +170,24 @@ class Pipeline:
             lambda v, ph, l, pi, pf, sid: self.synthesizer.apply(
                 v, ph, l, pi, pf, sid, method=self.synthesizer.infer))
         self._fused = {}
+        self._scalar_cache = {}
+
+    def _dev_scalar(self, kind: str, value, dtype, vec: bool = True):
+        """Device-resident cache of small per-call arrays (sid, p_len,
+        protect, ...). On a remote-dispatch link every fresh host scalar
+        is a separate tiny upload; conversion calls repeat the same
+        handful of values, so committed buffers are reused. vec=True
+        yields shape (1,), vec=False a 0-d scalar."""
+        key = (kind, value, vec)
+        buf = self._scalar_cache.get(key)
+        if buf is None:
+            if len(self._scalar_cache) > 256:
+                self._scalar_cache.clear()
+            host = (np.asarray([value], dtype=dtype) if vec
+                    else np.asarray(value, dtype=dtype))
+            buf = jnp.asarray(host)
+            self._scalar_cache[key] = buf
+        return buf
 
     # ------------------------------------------------------------------
     # Fused conversion (the TPU fast path): TWO jitted programs with a
@@ -371,7 +389,15 @@ class Pipeline:
         # true frame count of the unpadded chunk, capped at the feature grid
         hub_frames = (n_pad - 400) // 320 + 1
         p_len = min(n // self.window, 2 * hub_frames)
-        p_len_j = jnp.array([p_len])
+        p_len_j = self._dev_scalar("p_len", p_len, np.int32)
+        sid_j = self._dev_scalar("sid", sid, np.int32)
+        # scalars ship as committed 0-d device arrays (cached) instead of
+        # fresh per-call host floats
+        ps_j = self._dev_scalar("f", float(pitch_shift), np.float32, vec=False)
+        ats_j = self._dev_scalar("f", float(autotune_strength), np.float32,
+                                 vec=False)
+        prot_j = self._dev_scalar("f", float(protect), np.float32, vec=False)
+        ir_j = self._dev_scalar("f", float(index_rate), np.float32, vec=False)
 
         import os as _os
 
@@ -379,24 +405,24 @@ class Pipeline:
             # serving mode: weights baked as constants (lowest dispatch
             # latency, but much longer first compile — opt-in)
             fn_f0, fn_conv = self._get_frozen(use_index, rmvpe)
-            f0 = fn_f0(audio, pitch_shift, autotune_strength)
+            f0 = fn_f0(audio, ps_j, ats_j)
             if use_index:
-                out = fn_conv(audio, f0, jnp.array([sid]), p_len_j,
-                              protect, index_rate, index._dev(),
+                out = fn_conv(audio, f0, sid_j, p_len_j,
+                              prot_j, ir_j, index._dev(),
                               nprobe=index.nprobe)
             else:
-                out = fn_conv(audio, f0, jnp.array([sid]), p_len_j, protect)
+                out = fn_conv(audio, f0, sid_j, p_len_j, prot_j)
         elif _os.environ.get("RVC_TPU_PACK", "1") == "1":
             f0p, convp = self._get_packed(use_index, rmvpe)
             sb, hb, rb = self._packed["bufs"]
-            f0 = f0p(rb, audio, pitch_shift, autotune_strength)
+            f0 = f0p(rb, audio, ps_j, ats_j)
             if use_index:
-                out = convp(sb, hb, audio, f0, jnp.array([sid]), p_len_j,
-                            protect, index_rate, index._dev(),
+                out = convp(sb, hb, audio, f0, sid_j, p_len_j,
+                            prot_j, ir_j, index._dev(),
                             nprobe=index.nprobe)
             else:
-                out = convp(sb, hb, audio, f0, jnp.array([sid]), p_len_j,
-                            protect)
+                out = convp(sb, hb, audio, f0, sid_j, p_len_j,
+                            prot_j)
         else:
             dtype = _compute_dtype()
             key = ("plain", use_index, jnp.dtype(dtype).name, _f16_out())
@@ -404,18 +430,18 @@ class Pipeline:
                 self._fused["f0"] = self._build_f0_program()
             if key not in self._fused:
                 self._fused[key] = self._build_fused(use_index, dtype, _f16_out())
-            f0 = self._fused["f0"](rmvpe.variables, audio, pitch_shift,
-                                   autotune_strength)
+            f0 = self._fused["f0"](rmvpe.variables, audio, ps_j, ats_j)
             if use_index:
                 out = self._fused[key](
                     self.synth_variables, self.hubert_variables, audio, f0,
-                    jnp.array([sid]), p_len_j, protect, index_rate,
+                    sid_j, p_len_j, prot_j, ir_j,
                     index._dev(), nprobe=index.nprobe)
             else:
                 out = self._fused[key](
                     self.synth_variables, self.hubert_variables, audio, f0,
-                    jnp.array([sid]), p_len_j, protect, 0.0)
-        out = np.asarray(out[0]).astype(np.float32)
+                    sid_j, p_len_j, prot_j,
+                    self._dev_scalar("f", 0.0, np.float32, vec=False))
+        out = np.asarray(out)[0].astype(np.float32)
         return out[: p_len * (self.tgt_sr // 100)]
 
     def refresh(self) -> None:

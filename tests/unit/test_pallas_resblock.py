@@ -86,3 +86,82 @@ def test_fused_resblock_multi_tile(rng):
     w1, b1, w2, b2 = _stack_params(variables["params"], len(dil))
     got = np.asarray(fused_resblock(x, w1, b1, w2, b2, k, dil, interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-2, rtol=1e-2)
+
+
+def _group_weights(C, kernel_sizes, dils, key):
+    from rvc_tpu.models.layers import ResBlock
+    weights, variables_list = [], []
+    for bi, (k, d) in enumerate(zip(kernel_sizes, dils)):
+        net = ResBlock(C, k, d)
+        x0 = jnp.zeros((1, 32, C))
+        v = net.init(jax.random.PRNGKey(100 + bi), x0)
+        variables_list.append((net, v))
+        w1, b1, w2, b2 = _stack_params(v["params"], len(d))
+        weights += [w1, b1, w2, b2]
+    return tuple(weights), variables_list
+
+
+@pytest.mark.parametrize("C,T", [(16, 700), (32, 500), (128, 300)])
+def test_fused_resblock_group_matches_mean(rng, C, T):
+    """Group kernel == mean of the three standalone flax ResBlocks."""
+    from rvc_tpu.ops.pallas.resblock import fused_resblock_group
+
+    kernel_sizes = (3, 7, 11)
+    dils = ((1, 3, 5),) * 3
+    weights, nets = _group_weights(C, kernel_sizes, dils, rng)
+    x = jnp.asarray(rng.standard_normal((1, T, C)).astype(np.float32))
+    ref = np.mean([np.asarray(net.apply(v, x)) for net, v in nets], axis=0)
+    got = np.asarray(fused_resblock_group(x, weights, kernel_sizes, dils,
+                                          interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=1e-2)
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.9999, f"corr {corr}"
+
+
+def test_resblock_group_grads_match_xla(rng):
+    """custom_vjp backward of the group == autodiff of the XLA mean."""
+    from rvc_tpu.ops.pallas.resblock import (_xla_resblock_group,
+                                             resblock_group)
+
+    C, T = 8, 200
+    kernel_sizes = (3, 7)
+    dils = ((1, 3, 5), (1, 3, 5))
+    weights, _ = _group_weights(C, kernel_sizes, dils, rng)
+    x = jnp.asarray(rng.standard_normal((1, T, C)).astype(np.float32))
+
+    def loss_fused(x, w):
+        return jnp.sum(resblock_group(x, w, kernel_sizes, dils) ** 2)
+
+    def loss_ref(x, w):
+        return jnp.sum(_xla_resblock_group(
+            x, w, kernel_sizes=kernel_sizes, dilations=dils, slope=0.1) ** 2)
+
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, weights)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, weights)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=5e-2, rtol=1e-2)
+    for a, b in zip(gw_f, gw_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-2, rtol=1e-2)
+
+
+def test_generator_stage_group_dispatch(rng, monkeypatch):
+    """The NSF generator produces the same waveform with the fused group
+    path enabled (interpret) as with the plain flax path."""
+    from rvc_tpu.models.generators import HiFiGANNSFGenerator
+
+    net = HiFiGANNSFGenerator(
+        initial_channel=32, resblock_kernel_sizes=(3, 7, 11),
+        resblock_dilation_sizes=((1, 3, 5),) * 3,
+        upsample_rates=(10, 2), upsample_initial_channel=64,
+        upsample_kernel_sizes=(20, 4), gin_channels=16, sr=16000)
+    x = jnp.asarray(rng.standard_normal((1, 40, 32)).astype(np.float32))
+    f0 = jnp.full((1, 40), 160.0)
+    g = jnp.asarray(rng.standard_normal((1, 1, 16)).astype(np.float32))
+    monkeypatch.setenv("RVC_TPU_PALLAS_RESBLOCK", "0")
+    v = net.init({"params": jax.random.PRNGKey(3), "noise": jax.random.PRNGKey(4)}, x, f0, g)
+    ref = np.asarray(net.apply(v, x, f0, g, rngs={"noise": jax.random.PRNGKey(7)}))
+    monkeypatch.setenv("RVC_TPU_PALLAS_RESBLOCK", "1")
+    got = np.asarray(net.apply(v, x, f0, g, rngs={"noise": jax.random.PRNGKey(7)}))
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=1e-2)
