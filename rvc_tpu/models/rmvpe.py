@@ -151,6 +151,10 @@ class E2E(nn.Module):
         B, T, M, C = x.shape
         # torch flattens (B, T, C, M) -> (B, T, C*M); match that order
         x = x.transpose(0, 1, 3, 2).reshape(B, T, C * M)
+        # the BiGRU/fc/sigmoid head always runs f32 regardless of the
+        # U-Net compute dtype (the recurrent carry compounds rounding;
+        # the conv trunk does not)
+        x = x.astype(jnp.float32)
         if self.n_gru:
             fwd = {
                 "weight_ih": self.param("gru_fwd_weight_ih", nn.initializers.normal(0.02), (3 * self.gru_hidden, 3 * M)),

@@ -114,20 +114,23 @@ def _kernel(x_ref, bank_ref, b1_ref, b2_ref, out_ref, xbuf, sem, *,
     cur = xbuf[:]
     for s, (off1, shifts1, off2, shifts2) in enumerate(meta):
         y = jnp.where(cur > 0, cur, slope * cur)
-        y = jnp.where(inseq, y, 0.0)  # f32: Mosaic rotate needs 32-bit
+        # row shift commutes with the right-matmul (it is a row
+        # permutation), so cast ONCE per conv and roll the f32 product:
+        # one fewer VPU pass per tap than rolling + casting the input
+        y = jnp.where(inseq, y, 0.0).astype(jnp.bfloat16)
         acc = jnp.broadcast_to(b1_ref[s][None, :], cur.shape).astype(jnp.float32)
         for j, sh in enumerate(shifts1):
-            # roll(y, m)[r] = y[r - m]; tap needs y[r + sh]
-            tap = pltpu.roll(y, (-sh) % W, axis=0).astype(jnp.bfloat16)
-            acc = acc + jnp.dot(tap, bank_ref[off1 + j],
-                                preferred_element_type=jnp.float32)
+            # roll(t, m)[r] = t[r - m]; tap needs (y @ B)[r + sh]
+            t = jnp.dot(y, bank_ref[off1 + j],
+                        preferred_element_type=jnp.float32)
+            acc = acc + pltpu.roll(t, (-sh) % W, axis=0)
         y2 = jnp.where(acc > 0, acc, slope * acc)
-        y2 = jnp.where(inseq, y2, 0.0)
+        y2 = jnp.where(inseq, y2, 0.0).astype(jnp.bfloat16)
         acc2 = jnp.broadcast_to(b2_ref[s][None, :], cur.shape).astype(jnp.float32)
         for j, sh in enumerate(shifts2):
-            tap = pltpu.roll(y2, (-sh) % W, axis=0).astype(jnp.bfloat16)
-            acc2 = acc2 + jnp.dot(tap, bank_ref[off2 + j],
-                                  preferred_element_type=jnp.float32)
+            t = jnp.dot(y2, bank_ref[off2 + j],
+                        preferred_element_type=jnp.float32)
+            acc2 = acc2 + pltpu.roll(t, (-sh) % W, axis=0)
         cur = cur + acc2
     out_ref[:] = cur[halo:halo + tile, :][None]
 
@@ -257,21 +260,22 @@ def _kernel_group(x_ref, bank_ref, b1_ref, b2_ref, out_ref, xbuf, sem, *,
         cur = xbuf[:]
         for (off1, shifts1, boff, off2, shifts2) in meta:
             y = jnp.where(cur > 0, cur, slope * cur)
-            y = jnp.where(inseq, y, 0.0)
+            # cast once per conv; roll the f32 product (see _kernel)
+            y = jnp.where(inseq, y, 0.0).astype(jnp.bfloat16)
             acc = jnp.broadcast_to(b1_ref[boff][None, :], cur.shape
                                    ).astype(jnp.float32)
             for j, sh in enumerate(shifts1):
-                tap = pltpu.roll(y, (-sh) % W, axis=0).astype(jnp.bfloat16)
-                acc = acc + jnp.dot(tap, bank_ref[off1 + j],
-                                    preferred_element_type=jnp.float32)
+                t = jnp.dot(y, bank_ref[off1 + j],
+                            preferred_element_type=jnp.float32)
+                acc = acc + pltpu.roll(t, (-sh) % W, axis=0)
             y2 = jnp.where(acc > 0, acc, slope * acc)
-            y2 = jnp.where(inseq, y2, 0.0)
+            y2 = jnp.where(inseq, y2, 0.0).astype(jnp.bfloat16)
             acc2 = jnp.broadcast_to(b2_ref[boff][None, :], cur.shape
                                     ).astype(jnp.float32)
             for j, sh in enumerate(shifts2):
-                tap = pltpu.roll(y2, (-sh) % W, axis=0).astype(jnp.bfloat16)
-                acc2 = acc2 + jnp.dot(tap, bank_ref[off2 + j],
-                                      preferred_element_type=jnp.float32)
+                t = jnp.dot(y2, bank_ref[off2 + j],
+                            preferred_element_type=jnp.float32)
+                acc2 = acc2 + pltpu.roll(t, (-sh) % W, axis=0)
             cur = cur + acc2
         acc_out = acc_out + cur
     out_ref[:] = (acc_out * (1.0 / len(metas)))[halo:halo + tile, :][None]

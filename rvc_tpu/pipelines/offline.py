@@ -208,6 +208,12 @@ class Pipeline:
         # mode on CPU is slow) — RVC_TPU_PALLAS_MEL=0/1 overrides
         default_pallas = "1" if jax.default_backend() == "tpu" else "0"
         use_pallas = _os.environ.get("RVC_TPU_PALLAS_MEL", default_pallas) == "1"
+        # opt-in: U-Net conv trunk in bf16 (the BiGRU/fc/decode head stays
+        # f32 inside E2E). Salience deviation measured at 2e-3 — inside
+        # the reference's RMSE<0.01 activation bar — but f0 argmax
+        # fragility on ambiguous frames can't be validated without real
+        # weights, so the default stays f32 even under RVC_TPU_BF16=1.
+        bf16_unet = _os.environ.get("RVC_TPU_BF16_F0", "0") == "1"
 
         def fn_f0(rmvpe_vars, audio, pitch_shift, autotune_strength):
             audio = audio.astype(jnp.float32)  # f16 upload -> f32 compute
@@ -226,6 +232,8 @@ class Pipeline:
             n_frames = mel.shape[1]
             pad = 32 * ((n_frames - 1) // 32 + 1) - n_frames
             melp = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)), mode="reflect") if pad else mel
+            if bf16_unet:
+                melp = melp.astype(jnp.bfloat16)
             hidden = rmvpe_model.apply(rmvpe_vars, melp)[:, :n_frames]
             f0 = decode_salience(hidden, 0.03)[:, :p_len0]
             # facade range gate (PitchExtractor.extract): outside

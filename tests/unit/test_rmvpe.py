@@ -79,3 +79,21 @@ def test_rmvpe_random_init_runs(sine_wave):
     f0 = pred.infer_from_audio(y[: sr // 2])
     assert f0.shape == (1 + (sr // 2) // 160,)
     assert np.isfinite(f0).all()
+
+
+def test_e2e_bf16_trunk_close_to_f32():
+    """bf16 mel input runs the U-Net trunk in bf16 (head pinned f32);
+    salience must stay within the reference's 0.01 activation bar."""
+    import jax
+    import jax.numpy as jnp
+
+    from rvc_tpu.models.rmvpe import RMVPE
+
+    rmvpe = RMVPE(seed=0)
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(rng.standard_normal((1, 64, 128)).astype(np.float32))
+    h32 = np.asarray(rmvpe.model.apply(rmvpe.variables, mel))
+    h16 = np.asarray(rmvpe.model.apply(rmvpe.variables,
+                                       mel.astype(jnp.bfloat16)))
+    assert h16.dtype == np.float32  # head cast back
+    assert np.abs(h32 - h16).max() < 0.01
