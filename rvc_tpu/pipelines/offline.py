@@ -30,6 +30,7 @@ from rvc_tpu.configs import PipelineConfig
 from rvc_tpu.pitch import PitchExtractor, autotune_f0
 from rvc_tpu.retrieval.ivf import IVFFlatIndex, index_blend
 from rvc_tpu.utils import audio as audio_utils
+from rvc_tpu.utils.profiling import trace_span
 
 SAMPLE_RATE = 16000
 WINDOW = 160
@@ -382,16 +383,24 @@ class Pipeline:
         protect: float,
         index: Optional[IVFFlatIndex],
         index_rate: float,
-    ) -> np.ndarray:
-        """Single-call conversion of a padded 16 kHz chunk with RMVPE f0."""
+        defer: bool = False,
+    ):
+        """Single-call conversion of a padded 16 kHz chunk with RMVPE f0.
+
+        defer=True returns the (device_waveform, p_len) handle pair
+        without blocking — callers with several chunks dispatch them all
+        first and materialize in order, so each chunk's D2H transfer
+        overlaps the next chunk's compute (measured to overlap on the
+        tunneled link, scripts/profile_overlap.py)."""
         rmvpe = self._get_rmvpe()
         self._rmvpe_model = rmvpe.model
         n = len(audio0)
         n_pad = self._bucket_samples(n)
         in_dtype = np.float16 if _f16_in() else np.float32
-        audio = jnp.asarray(np.pad(
-            audio0.astype(np.float32), (0, n_pad - n),
-            mode="reflect" if n_pad - n < n else "constant").astype(in_dtype))[None]
+        with trace_span("host/pad+upload"):
+            audio = jnp.asarray(np.pad(
+                audio0.astype(np.float32), (0, n_pad - n),
+                mode="reflect" if n_pad - n < n else "constant").astype(in_dtype))[None]
 
         use_index = index is not None and index_rate > 0
         # true frame count of the unpadded chunk, capped at the feature grid
@@ -449,6 +458,20 @@ class Pipeline:
                     self.synth_variables, self.hubert_variables, audio, f0,
                     sid_j, p_len_j, prot_j,
                     self._dev_scalar("f", 0.0, np.float32, vec=False))
+        if _os.environ.get("RVC_TPU_ASYNC_FETCH", "1") == "1":
+            # start the D2H stream as soon as the producing program
+            # finishes (dispatch is async; a dependent early fetch
+            # measured 22 ms visible vs 52 ms for an idle-queue fetch,
+            # scripts/profile_overlap.py)
+            try:
+                out.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+        if defer:
+            return out, p_len
+        return self._materialize(out, p_len)
+
+    def _materialize(self, out, p_len: int) -> np.ndarray:
         out = np.asarray(out)[0].astype(np.float32)
         return out[: p_len * (self.tgt_sr // 100)]
 
@@ -589,7 +612,8 @@ class Pipeline:
     ) -> np.ndarray:
         """Full conversion: 16 kHz mono float -> target-sr waveform."""
         audio = np.asarray(audio, dtype=np.float32)
-        audio = audio_utils.highpass_filter(audio, SAMPLE_RATE, 48.0, 5)
+        with trace_span("host/highpass"):
+            audio = audio_utils.highpass_filter(audio, SAMPLE_RATE, 48.0, 5)
 
         opt_ts = self._find_split_points(audio)
         t_pad = self.t_pad
@@ -612,32 +636,45 @@ class Pipeline:
         fused_ok = (pitch_guidance and f0_method == "rmvpe"
                     and input_f0 is None and not proposed_pitch
                     and self.cfg_use_f0)
-        out_chunks = []
+        # dispatch every chunk first (device handles), materialize after:
+        # chunk i's D2H transfer overlaps chunk i+1's compute
+        pending = []
         for (s, e) in bounds:
             # chunk with t_pad context on both sides (positions shift by +t_pad)
             chunk = audio_pad_full[s : e + 2 * t_pad]
             if fused_ok:
-                conv = self.fused_convert(
-                    chunk, sid, pitch_shift,
-                    f0_autotune_strength if f0_autotune else 0.0,
-                    protect, index, index_rate)
+                with trace_span("dispatch/fused_convert"):
+                    pending.append(self.fused_convert(
+                        chunk, sid, pitch_shift,
+                        f0_autotune_strength if f0_autotune else 0.0,
+                        protect, index, index_rate, defer=True))
             else:
                 p_len = len(chunk) // self.window
                 if pitch_guidance:
-                    pitch, pitchf = self.get_f0(
-                        chunk, p_len, f0_method, pitch_shift,
-                        f0_autotune, f0_autotune_strength, input_f0,
-                        proposed_pitch, proposed_pitch_threshold)
+                    with trace_span("host/get_f0"):
+                        pitch, pitchf = self.get_f0(
+                            chunk, p_len, f0_method, pitch_shift,
+                            f0_autotune, f0_autotune_strength, input_f0,
+                            proposed_pitch, proposed_pitch_threshold)
                 else:
                     pitch = pitchf = None
-                conv = self.voice_conversion(
-                    chunk, pitch, pitchf, sid, index, index_rate, protect)
-            pad_tgt = int(t_pad * (self.tgt_sr / SAMPLE_RATE))
+                pending.append(self.voice_conversion(
+                    chunk, pitch, pitchf, sid, index, index_rate, protect))
+
+        out_chunks = []
+        pad_tgt = int(t_pad * (self.tgt_sr / SAMPLE_RATE))
+        for item in pending:
+            if isinstance(item, tuple):
+                with trace_span("fetch/materialize"):
+                    conv = self._materialize(*item)
+            else:
+                conv = item
             out_chunks.append(conv[pad_tgt:-pad_tgt] if pad_tgt else conv)
 
         audio_out = np.concatenate(out_chunks) if len(out_chunks) > 1 else out_chunks[0]
 
-        if volume_envelope != 1:
-            audio_out = audio_utils.change_rms(
-                audio, SAMPLE_RATE, audio_out, self.tgt_sr, volume_envelope)
-        return audio_utils.peak_normalize(audio_out, 0.99)
+        with trace_span("host/post"):
+            if volume_envelope != 1:
+                audio_out = audio_utils.change_rms(
+                    audio, SAMPLE_RATE, audio_out, self.tgt_sr, volume_envelope)
+            return audio_utils.peak_normalize(audio_out, 0.99)

@@ -60,3 +60,21 @@ def annotate(name: str):
     import jax
 
     return jax.profiler.TraceAnnotation(name)
+
+
+_GLOBAL = SpanTimer()
+
+
+def global_tracer() -> SpanTimer:
+    """Process-wide tracer used by the pipelines when RVC_TPU_TRACE=1."""
+    return _GLOBAL
+
+
+@contextlib.contextmanager
+def trace_span(name: str):
+    """Span on the global tracer; no-op unless RVC_TPU_TRACE=1."""
+    if os.environ.get("RVC_TPU_TRACE", "0") != "1":
+        yield
+        return
+    with _GLOBAL.span(name):
+        yield

@@ -105,3 +105,46 @@ def test_conv_transpose2d_matches_torch(rng, stride, outpad):
                                stride=stride, padding=1, output_padding=outpad))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "k,stride,pad,cout,L",
+    [
+        (80, 40, 20, 16, 1930),   # NSF noise_conv stage0 (stride_f0=40)
+        (8, 4, 2, 8, 1930),       # stage1 (stride_f0=4)
+        (4, 2, 1, 8, 1931),       # stage2 (stride_f0=2), odd length
+        (1, 1, 0, 8, 1930),       # stage3 passthrough tap
+        (10, 5, 0, 12, 1933),     # HuBERT feature-extractor first conv
+    ],
+)
+def test_conv1d_cin1_fast_path_matches_torch(rng, k, stride, pad, cout, L):
+    """The C_in==1 framed fast path must be torch-exact (it replaces the
+    general conv for the NSF noise_convs and HuBERT's first conv)."""
+    x = rng.standard_normal((2, L, 1)).astype(np.float32)
+    tconv = torch.nn.Conv1d(1, cout, k, stride=stride, padding=pad)
+    with torch.no_grad():
+        ref = tconv(torch.from_numpy(x).permute(0, 2, 1)).permute(0, 2, 1).numpy()
+    w = tconv.weight.detach().numpy().transpose(2, 1, 0)
+    b = tconv.bias.detach().numpy()
+    out = _np(conv1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                     stride=stride, padding=pad))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("cin,k,T", [(32, 7, 2 ** 18), (64, 7, 2 ** 13),
+                                     (32, 3, 2 ** 18 + 5)])
+def test_conv1d_cout1_packed_matches_torch(rng, cin, k, T):
+    """The C_out==1 packed-lane fast path (HiFi-GAN conv_post) must be
+    torch-exact, including ragged tails (T not a multiple of 128/C)."""
+    from rvc_tpu.ops.conv import _conv1d_cout1_packed
+
+    x = rng.standard_normal((1, T, cin)).astype(np.float32)
+    tconv = torch.nn.Conv1d(cin, 1, k, padding=(k - 1) // 2, bias=False)
+    with torch.no_grad():
+        ref = tconv(torch.from_numpy(x).permute(0, 2, 1)).permute(0, 2, 1).numpy()
+    w = tconv.weight.detach().numpy().transpose(2, 1, 0)
+    out = _np(_conv1d_cout1_packed(jnp.asarray(x), jnp.asarray(w), None,
+                                   (k - 1) // 2))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=2e-5)
