@@ -189,20 +189,29 @@ def conv_transpose1d(
     if M * u != k:
         w = jnp.pad(w, ((0, M * u - k), (0, 0), (0, 0)))
 
-    # one dense matmul: (B, T, Cin) @ (Cin, M*u*Cout)
-    z = jnp.einsum("bti,kio->btko", x, w,
-                   preferred_element_type=jnp.float32)   # (B, T, M*u, Cout)
-    z = z.reshape(B, T, M, u, cout)
-
-    # full[n*u + p] = sum_m z[n - m, m, p]: interleave each phase plane to
-    # (B, T*u, C) and overlap-add with a shift of m*u samples (static pads
-    # + adds — no scatter)
-    full_len = max((T - 1 + M) * u, padding + out_len)
-    full = None
-    for m in range(M):
-        plane = z[:, :, m].reshape(B, T * u, cout)
-        shifted = jnp.pad(plane, ((0, 0), (m * u, full_len - m * u - T * u), (0, 0)))
-        full = shifted if full is None else full + shifted
+    # full[n*u + p] = sum_m x[n - m] @ W[m*u + p]. Concatenate the M
+    # frame-rate shifts of x on the channel axis and contract them in ONE
+    # (B, T, M*Cin) @ (M*Cin, u*Cout) matmul; the phase axis then
+    # interleaves with a contiguous reshape. (The previous formulation
+    # overlap-added M full-length audio-rate planes — 3 extra HBM passes
+    # over the upsampled tensor on the big NSF stages.)
+    if M == 1:
+        full = jnp.einsum("bti,uio->btuo", x, w.reshape(u, cin, cout),
+                          preferred_element_type=jnp.float32)
+        full = full.reshape(B, T * u, cout)
+    else:
+        # M - 1 extra tail rows so contributions at j >= T*u are kept
+        xs = [jnp.pad(x, ((0, 0), (m, M - 1 - m), (0, 0)))
+              for m in range(M)]
+        xcat = jnp.concatenate(xs, axis=-1)               # (B, T+M-1, M*Cin)
+        wb = w.reshape(M, u, cin, cout).transpose(0, 2, 1, 3)
+        wb = wb.reshape(M * cin, u * cout)
+        full = jnp.einsum("btc,cd->btd", xcat, wb,
+                          preferred_element_type=jnp.float32)
+        full = full.reshape(B, (T + M - 1) * u, cout)
+    pad_back = max(padding + out_len - T * u, 0)
+    if pad_back:
+        full = jnp.pad(full, ((0, 0), (0, pad_back), (0, 0)))
     out = lax.slice_in_dim(full, padding, padding + out_len, axis=1)
     if b is not None:
         out = out + b

@@ -102,6 +102,11 @@ def main():
     m = sorted(ts)[3]
     print(f"e2e: {m*1e3:.1f} ms ({duration/m:.1f}x rt)", flush=True)
 
+    if os.environ.get("RVC_TPU_TRACE", "0") == "1":
+        from rvc_tpu.utils.profiling import global_tracer
+        import json
+        print(json.dumps(global_tracer().summary(), indent=1), flush=True)
+
 
 if __name__ == "__main__":
     main()
