@@ -31,15 +31,25 @@ def hann_window(win_length: int, dtype=jnp.float32) -> jax.Array:
 
 
 def frame_signal(y: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
-    """(B, T) -> (B, n_frames, frame_length) with n_frames = 1 + (T - frame_length)//hop."""
-    patches = lax.conv_general_dilated_patches(
-        y[:, :, None],
-        filter_shape=(frame_length,),
-        window_strides=(hop_length,),
-        padding="VALID",
-        dimension_numbers=("NWC", "WIO", "NWC"),
-    )
-    return patches  # (B, n_frames, frame_length)
+    """(B, T) -> (B, n_frames, frame_length) with n_frames = 1 + (T - frame_length)//hop.
+
+    Frames start on hop boundaries, so they are g = ceil(frame/hop)
+    row-slices of a (n_frames + g, hop) reshape — a few contiguous slices
+    and one concat. (conv_general_dilated_patches lowers to an identity
+    conv with `frame_length` channels; for the 1024-tap mel frontend that
+    measured several ms per clip on v5e.)"""
+    B, T = y.shape
+    n_frames = 1 + (T - frame_length) // hop_length
+    g = -(-frame_length // hop_length)
+    need = (n_frames + g) * hop_length
+    if need > T:
+        y = jnp.pad(y, ((0, 0), (0, need - T)))
+    else:
+        y = y[:, :need]
+    rows = y.reshape(B, n_frames + g, hop_length)
+    frames = jnp.concatenate(
+        [rows[:, i : n_frames + i] for i in range(g)], axis=-1)
+    return frames[:, :, :frame_length]
 
 
 def stft(

@@ -432,14 +432,16 @@ class Pipeline:
         elif _os.environ.get("RVC_TPU_PACK", "1") == "1":
             f0p, convp = self._get_packed(use_index, rmvpe)
             sb, hb, rb = self._packed["bufs"]
-            f0 = f0p(rb, audio, ps_j, ats_j)
-            if use_index:
-                out = convp(sb, hb, audio, f0, sid_j, p_len_j,
-                            prot_j, ir_j, index._dev(),
-                            nprobe=index.nprobe)
-            else:
-                out = convp(sb, hb, audio, f0, sid_j, p_len_j,
-                            prot_j)
+            with trace_span("dispatch/f0_program"):
+                f0 = f0p(rb, audio, ps_j, ats_j)
+            with trace_span("dispatch/conv_program"):
+                if use_index:
+                    out = convp(sb, hb, audio, f0, sid_j, p_len_j,
+                                prot_j, ir_j, index._dev(),
+                                nprobe=index.nprobe)
+                else:
+                    out = convp(sb, hb, audio, f0, sid_j, p_len_j,
+                                prot_j)
         else:
             dtype = _compute_dtype()
             key = ("plain", use_index, jnp.dtype(dtype).name, _f16_out())
