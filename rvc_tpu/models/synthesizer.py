@@ -179,3 +179,19 @@ def build_synthesizer(cfg, sr: Optional[int] = None) -> Synthesizer:
         model=cfg.model,
         sr=sr,
     )
+
+
+def source_noise_rng() -> Optional[jax.Array]:
+    """Deterministic PRNG key for the NSF source's additive noise at
+    inference. The reference draws fresh noise on every forward
+    (`rvc_mlx/lib/mlx/generators.py:105-116`): voiced frames get jitter
+    at ``add_noise_std`` and unvoiced frames get their ENTIRE excitation
+    as noise at ``sine_amp/3`` — with a silent source, unvoiced segments
+    lose their aspiration energy. A fixed key keeps runs reproducible
+    while matching those noise statistics. RVC_TPU_SOURCE_NOISE=0
+    disables it (noise-free runs for exact oracle comparisons)."""
+    import os
+
+    if os.environ.get("RVC_TPU_SOURCE_NOISE", "1") == "0":
+        return None
+    return jax.random.PRNGKey(0x5EED)

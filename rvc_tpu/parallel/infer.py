@@ -88,8 +88,11 @@ class BatchConverter:
             pitch = coarse_f0_jnp(f0)
             feats_up = _upsample_protect(feats, feats, f0, protect)
             lengths = jnp.full((audio.shape[0],), t_feat, dtype=jnp.int32)
+            from rvc_tpu.models.synthesizer import source_noise_rng
+
             wave, _ = synth.apply(synth_vars, feats_up, lengths, pitch, f0,
-                                  sid, method=synth.infer)
+                                  sid, rng=source_noise_rng(),
+                                  method=synth.infer)
             wave = wave[:, :, 0]
             return wave.astype(jnp.float16) if f16_out else wave.astype(jnp.float32)
 

@@ -167,9 +167,12 @@ class Pipeline:
 
         self._hubert_jit = jax.jit(
             lambda v, a: self.hubert.apply(v, a, output_hidden_states=True))
+        from rvc_tpu.models.synthesizer import source_noise_rng
+
         self._infer_jit = jax.jit(
             lambda v, ph, l, pi, pf, sid: self.synthesizer.apply(
-                v, ph, l, pi, pf, sid, method=self.synthesizer.infer))
+                v, ph, l, pi, pf, sid, rng=source_noise_rng(),
+                method=self.synthesizer.infer))
         self._fused = {}
         self._scalar_cache = {}
 
@@ -286,9 +289,11 @@ class Pipeline:
             pitch = coarse_f0_jnp(f0)
             feats_up = _upsample_protect(feats, feats_raw, f0, protect)
 
+            from rvc_tpu.models.synthesizer import source_noise_rng
+
             wave, _ = synth.apply(
                 synth_vars, feats_up, p_len, pitch, f0,
-                sid, method=synth.infer)
+                sid, rng=source_noise_rng(), method=synth.infer)
             wave = wave[:, :, 0]
             if f16_out:
                 # halve the device->host transfer: final audio is tanh

@@ -70,3 +70,33 @@ def test_infer_file_roundtrip(tiny_rvc, sine_wave, tmp_path):
     audio, out_sr = load_wav(outp)
     assert out_sr == 32000
     assert len(audio) > 8000
+
+
+def test_source_noise_at_inference(tiny_rvc, monkeypatch):
+    """The NSF source must carry noise at inference like the reference
+    (`rvc_mlx/lib/mlx/generators.py:105-116`): unvoiced frames get their
+    whole excitation as noise at sine_amp/3 — with rng=None they would be
+    silent. RVC_TPU_SOURCE_NOISE=0 must disable it (oracle comparisons)."""
+    import jax.numpy as jnp
+    from rvc_tpu.models.generators import sine_source
+    import jax
+
+    f0 = jnp.zeros((1, 8))  # all unvoiced
+    src_off, _ = sine_source(f0, 10, 48000)
+    src_on, _ = sine_source(f0, 10, 48000, rng=jax.random.PRNGKey(1))
+    assert float(jnp.abs(src_off).max()) == 0.0
+    rms = float(jnp.sqrt(jnp.mean(src_on ** 2)))
+    assert 0.01 < rms < 0.07  # noise at ~sine_amp/3 = 0.033
+
+    # pipeline wiring: identical calls differ between noise on and off
+    audio = (0.3 * np.random.default_rng(0).standard_normal(16000)).astype(np.float32)
+    kwargs = dict(sid=0, index_rate=0.0, protect=0.5)
+    monkeypatch.setenv("RVC_TPU_SOURCE_NOISE", "0")
+    tiny_rvc.pipeline._fused.clear()
+    out_off = np.asarray(tiny_rvc.infer(audio, **kwargs))
+    monkeypatch.setenv("RVC_TPU_SOURCE_NOISE", "1")
+    tiny_rvc.pipeline._fused.clear()
+    out_on = np.asarray(tiny_rvc.infer(audio, **kwargs))
+    tiny_rvc.pipeline._fused.clear()
+    assert out_on.shape == out_off.shape
+    assert not np.allclose(out_on, out_off)
