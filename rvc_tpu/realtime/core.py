@@ -83,6 +83,8 @@ class Realtime:
         self.pitch_buffer = np.zeros(self.convert_feature_size, dtype=np.int32)
         self.pitchf_buffer = np.zeros(self.convert_feature_size, dtype=np.float32)
         self.block_16k = block_16k
+        self._block_fn = None       # fused block program is shape-bound
+        self._pitchf_dev = None
 
     # ------------------------------------------------------------------
     def _update_pitch(self, pitch_shift: float, f0_autotune: bool,
@@ -103,6 +105,106 @@ class Realtime:
         self.pitch_buffer[-n_tail:] = pitch
         self.pitchf_buffer[-n_tail:] = pitchf
 
+    # ------------------------------------------------------------------
+    # Fused block path: ONE jitted program per block (tail f0 + rolled
+    # device-resident pitch state + HuBERT + synthesizer + skip_head
+    # slice), ONE host sync fetching just the block-sized output. The
+    # staged path pays two blocking syncs per block (host f0 decode, then
+    # the full-buffer waveform) — ~2x the per-block link latency on a
+    # remote-dispatch TPU.
+    def _fused_block_ok(self, index_rate: float, f0_autotune: bool) -> bool:
+        import os
+
+        if os.environ.get("RVC_TPU_RT_FUSED", "1") != "1":
+            return False
+        if self.f0_method != "rmvpe" or not self.rvc.pipeline.cfg_use_f0:
+            return False
+        return not (index_rate > 0 and self.rvc.index is not None)
+
+    def _get_block_program(self):
+        if getattr(self, "_block_fn", None) is not None:
+            return self._block_fn
+        import jax
+        import jax.numpy as jnp
+        from rvc_tpu.models.rmvpe import decode_salience
+        from rvc_tpu.models.synthesizer import source_noise_rng
+        from rvc_tpu.ops.stft import log_mel_spectrogram
+        from rvc_tpu.pipelines.offline import (
+            F0_MAX, F0_MIN, _upsample_protect, autotune_f0_jnp,
+            coarse_f0_jnp)
+        from rvc_tpu.utils.packing import unpack_tree
+
+        pipe = self.rvc.pipeline
+        rmvpe = pipe._get_rmvpe()
+        pipe._rmvpe_model = rmvpe.model
+        pipe._get_packed(False, rmvpe)  # ensure packed buffers exist
+        ss, hs, rs = pipe._packed["specs"]
+        synth = pipe.synthesizer
+        hubert = pipe.hubert
+        rmvpe_model = rmvpe.model
+
+        sf, bf = self.silence_front_frames, self.block_16k // self.window_size
+        F = self.convert_feature_size
+        skip, ret = self.skip_head, self.return_length
+        spf = self.rvc.cfg.data.sample_rate // 100
+        win = self.window_size
+        # bucket-pad like the staged path so HuBERT's frame grid covers
+        # the full return region (t_feat >= F); f0 still reads only the
+        # true (unpadded) tail
+        L = len(self.convert_buffer)
+        self._block_pad = pipe._bucket_samples(L) - L
+        import os
+        use_pallas = (os.environ.get(
+            "RVC_TPU_PALLAS_MEL",
+            "1" if jax.default_backend() == "tpu" else "0") == "1")
+
+        def fn(rb, sb, hb, audio, pitchf_prev, sid, protect, ps, ats):
+            rmvpe_vars = unpack_tree(rb, rs)
+            synth_vars = unpack_tree(sb, ss)
+            hubert_vars = unpack_tree(hb, hs)
+            audio = audio.astype(jnp.float32)
+
+            tail = audio[:, sf * win : L]
+            n_tail = tail.shape[1] // win
+            if use_pallas:
+                from rvc_tpu.ops.pallas.melspec import pallas_log_mel
+
+                mel = pallas_log_mel(tail, 1024, win, 128, SAMPLE_RATE,
+                                     30.0, 8000.0, htk=True)
+            else:
+                mel = log_mel_spectrogram(tail, 1024, 128, SAMPLE_RATE, win,
+                                          1024, fmin=30, fmax=8000, htk=True)
+            nf = mel.shape[1]
+            pad = 32 * ((nf - 1) // 32 + 1) - nf
+            melp = (jnp.pad(mel, ((0, 0), (0, pad), (0, 0)), mode="reflect")
+                    if pad else mel)
+            hidden = rmvpe_model.apply(rmvpe_vars, melp)[:, :nf]
+            f0 = decode_salience(hidden, 0.03)[:, :n_tail]
+            f0 = jnp.where((f0 >= F0_MIN) & (f0 <= F0_MAX), f0, 0.0)
+            f0 = autotune_f0_jnp(f0, ats) * 2.0 ** (ps / 12.0)
+            # roll the pitch state left by one block, overwrite the tail
+            new_pitchf = jnp.concatenate(
+                [pitchf_prev[:, bf : bf + (F - n_tail)], f0], axis=1)
+
+            feats = hubert.apply(hubert_vars, audio,
+                                 output_hidden_states=True)
+            t_feat = feats.shape[1] * 2
+            pf = new_pitchf[:, :t_feat]
+            if t_feat > F:
+                pf = jnp.pad(pf, ((0, 0), (0, t_feat - F)))
+            pitch_c = coarse_f0_jnp(pf)
+            feats_up = _upsample_protect(feats, feats, pf, protect)
+            lengths = jnp.full((1,), min(F, t_feat), dtype=jnp.int32)
+            wave, _ = synth.apply(synth_vars, feats_up, lengths, pitch_c,
+                                  pf, sid, rng=source_noise_rng(),
+                                  method=synth.infer)
+            block = wave[:, skip * spf : (skip + ret) * spf, 0]
+            return block.astype(jnp.float16), new_pitchf
+
+        self._block_fn = jax.jit(fn)
+        self._pitchf_dev = jnp.zeros((1, F), jnp.float32)
+        return self._block_fn
+
     def inference(
         self,
         audio_input_48k: np.ndarray,
@@ -122,21 +224,46 @@ class Realtime:
         gated = vol < self.input_sensitivity or (
             self.vad is not None and not self.vad.is_speech(a16))
 
-        self._update_pitch(f0_up_key, f0_autotune, f0_autotune_strength)
-
-        out = self.rvc.pipeline.voice_conversion(
-            self.convert_buffer,
-            self.pitch_buffer,
-            self.pitchf_buffer,
-            self.sid,
-            self.rvc.index if index_rate > 0 else None,
-            index_rate,
-            protect,
-        )
-        # trim skip_head worth of output, keep return_length frames
         spf_tgt = self.rvc.cfg.data.sample_rate // 100
-        out = out[self.skip_head * spf_tgt:
-                  (self.skip_head + self.return_length) * spf_tgt]
+        if self._fused_block_ok(index_rate, f0_autotune):
+            import jax.numpy as jnp
+
+            fn = self._get_block_program()
+            pipe = self.rvc.pipeline
+            sb, hb, rb = pipe._packed["bufs"]
+            buf = self.convert_buffer
+            if self._block_pad:
+                buf = np.pad(buf, (0, self._block_pad), mode="reflect")
+            block, self._pitchf_dev = fn(
+                rb, sb, hb,
+                jnp.asarray(buf[None].astype(np.float16)),
+                self._pitchf_dev,
+                pipe._dev_scalar("sid", self.sid, np.int32),
+                pipe._dev_scalar("f", float(protect), np.float32, vec=False),
+                pipe._dev_scalar("f", float(f0_up_key), np.float32, vec=False),
+                pipe._dev_scalar(
+                    "f", float(f0_autotune_strength if f0_autotune else 0.0),
+                    np.float32, vec=False))
+            try:
+                block.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+            out = np.asarray(block)[0].astype(np.float32)
+        else:
+            self._update_pitch(f0_up_key, f0_autotune, f0_autotune_strength)
+
+            out = self.rvc.pipeline.voice_conversion(
+                self.convert_buffer,
+                self.pitch_buffer,
+                self.pitchf_buffer,
+                self.sid,
+                self.rvc.index if index_rate > 0 else None,
+                index_rate,
+                protect,
+            )
+            # trim skip_head worth of output, keep return_length frames
+            out = out[self.skip_head * spf_tgt:
+                      (self.skip_head + self.return_length) * spf_tgt]
         if self.rvc.cfg.data.sample_rate != AUDIO_SAMPLE_RATE:
             out = audio_utils.resample(out, self.rvc.cfg.data.sample_rate,
                                        AUDIO_SAMPLE_RATE)

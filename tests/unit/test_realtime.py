@@ -69,3 +69,44 @@ def test_voice_changer_stream(sine_wave):
         assert np.isfinite(out).all()
         outs.append(out)
     assert vol >= 0
+
+
+@pytest.mark.slow
+def test_fused_block_matches_staged(monkeypatch):
+    """The fused realtime block program (tail f0 + device pitch state +
+    synth in ONE dispatch) must match the staged path block for block."""
+    from rvc_tpu.api import RVC
+    from rvc_tpu.configs import get_config
+    from rvc_tpu.realtime.core import Realtime, AUDIO_SAMPLE_RATE
+
+    cfg = get_config(32000, model_spk_embed_dim=2, model_n_layers=1,
+                     model_upsample_initial_channel=64)
+    rvc = RVC(config=cfg, seed=0)
+
+    def mk(env):
+        monkeypatch.setenv("RVC_TPU_RT_FUSED", env)
+        rt = Realtime(rvc, f0_method="rmvpe")
+        rt.realloc(48 * 128, int(0.2 * AUDIO_SAMPLE_RATE),
+                   int(0.05 * AUDIO_SAMPLE_RATE), AUDIO_SAMPLE_RATE // 100)
+        return rt
+
+    rng = np.random.default_rng(0)
+    t = np.arange(3 * 48 * 128) / AUDIO_SAMPLE_RATE
+    audio = (0.4 * np.sin(2 * np.pi * 220 * t)
+             + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+
+    blocks = [audio[i * 48 * 128: (i + 1) * 48 * 128] for i in range(3)]
+    monkeypatch.setenv("RVC_TPU_RT_FUSED", "0")
+    rt_staged = mk("0")
+    staged = [rt_staged.inference(b, index_rate=0.0)[0] for b in blocks]
+    monkeypatch.setenv("RVC_TPU_RT_FUSED", "1")
+    rt_fused = mk("1")
+    fused = [rt_fused.inference(b, index_rate=0.0)[0] for b in blocks]
+
+    for s, f in zip(staged, fused):
+        assert s.shape == f.shape
+        assert np.isfinite(f).all()
+        # identical math up to f16 I/O quantization and reduction order
+        corr = np.corrcoef(s, f)[0, 1] if s.std() > 0 and f.std() > 0 else 1.0
+        np.testing.assert_allclose(f, s, atol=5e-3)
+        assert corr > 0.999
