@@ -249,11 +249,12 @@ class Pipeline:
         return jax.jit(fn_f0)
 
     def _build_fused(self, use_index: bool, compute_dtype=jnp.float32,
-                     f16_out: bool = True):
+                     f16_out: bool = True, trim_frames: int = 0):
         from rvc_tpu.retrieval.ivf import _ivf_search, index_blend
 
         synth = self.synthesizer
         hubert = self.hubert
+        spf_tgt = self.tgt_sr // 100
 
         def fn(synth_vars, hubert_vars, audio, f0, sid, p_len,
                protect, index_rate, index_arrays=None, nprobe: int = 1):
@@ -295,6 +296,13 @@ class Pipeline:
                 synth_vars, feats_up, p_len, pitch, f0,
                 sid, rng=source_noise_rng(), method=synth.infer)
             wave = wave[:, :, 0]
+            if trim_frames:
+                # drop the reflect-pad context on DEVICE: the host only
+                # ever keeps [t_pad_tgt : -t_pad_tgt], and on a
+                # remote-dispatch link the fetch costs ~19 ms/MB — the
+                # 2 s of pad is ~40% of the padded waveform's bytes
+                wave = wave[:, trim_frames * spf_tgt :
+                            wave.shape[1] - trim_frames * spf_tgt]
             if f16_out:
                 # halve the device->host transfer: final audio is tanh
                 # bounded in [-1, 1] where f16 carries ~1e-3 absolute
@@ -311,7 +319,7 @@ class Pipeline:
             self.pitch_extractor = PitchExtractor("rmvpe")
         return self.pitch_extractor._model
 
-    def _get_packed(self, use_index: bool, rmvpe):
+    def _get_packed(self, use_index: bool, rmvpe, trim_frames: int = 0):
         """Packed-dispatch programs: each model's whole variable tree
         travels as ONE flat f32 buffer (static-sliced back inside the
         program). Cuts per-call handle marshalling from ~600 buffers to 3
@@ -328,11 +336,13 @@ class Pipeline:
             rb, rs = pack_tree(rmvpe.variables)
             self._packed = dict(bufs=(sb, hb, rb), specs=(ss, hs, rs))
             self._packed_dtype = dtype
-        key = ("packed", use_index, jnp.dtype(dtype).name, f16_out)
+        key = ("packed", use_index, jnp.dtype(dtype).name, f16_out,
+               trim_frames)
         if key not in self._fused:
             ss, hs, rs = self._packed["specs"]
             fn_f0 = self._build_f0_program()
-            fn_conv = self._build_fused(use_index, dtype, f16_out)
+            fn_conv = self._build_fused(use_index, dtype, f16_out,
+                                        trim_frames)
 
             f0p = jax.jit(lambda rb, audio, ps, ats: fn_f0(
                 unpack_tree(rb, rs), audio, ps, ats))
@@ -350,17 +360,19 @@ class Pipeline:
             self._fused[key] = (f0p, convp)
         return self._fused[key]
 
-    def _get_frozen(self, use_index: bool, rmvpe):
+    def _get_frozen(self, use_index: bool, rmvpe, trim_frames: int = 0):
         """Serving-mode programs: weights baked into the executables as
         constants, so each dispatch ships only the audio + scalars. On a
         remote-dispatch link (tunneled TPU) per-call marshalling of ~600
         weight handles dominates latency; freezing removes it."""
         dtype = _compute_dtype()
         f16_out = _f16_out()
-        key = ("frozen", use_index, jnp.dtype(dtype).name, f16_out)
+        key = ("frozen", use_index, jnp.dtype(dtype).name, f16_out,
+               trim_frames)
         if key not in self._fused:
             fn_f0 = self._build_f0_program()
-            fn_conv = self._build_fused(use_index, dtype, f16_out)
+            fn_conv = self._build_fused(use_index, dtype, f16_out,
+                                        trim_frames)
             rv, sv, hv = rmvpe.variables, self.synth_variables, self.hubert_variables
             if use_index:
                 f0_frozen = jax.jit(
@@ -389,8 +401,14 @@ class Pipeline:
         index: Optional[IVFFlatIndex],
         index_rate: float,
         defer: bool = False,
+        trim_frames: int = 0,
     ):
         """Single-call conversion of a padded 16 kHz chunk with RMVPE f0.
+
+        trim_frames drops that many 10 ms frames of context from EACH end
+        of the output waveform on device before the D2H transfer (the
+        pipeline passes its t_pad so the reflect-pad context — ~40% of
+        the padded clip's bytes — never crosses the link).
 
         defer=True returns the (device_waveform, p_len) handle pair
         without blocking — callers with several chunks dispatch them all
@@ -426,7 +444,7 @@ class Pipeline:
         if _os.environ.get("RVC_TPU_FREEZE", "0") == "1":
             # serving mode: weights baked as constants (lowest dispatch
             # latency, but much longer first compile — opt-in)
-            fn_f0, fn_conv = self._get_frozen(use_index, rmvpe)
+            fn_f0, fn_conv = self._get_frozen(use_index, rmvpe, trim_frames)
             f0 = fn_f0(audio, ps_j, ats_j)
             if use_index:
                 out = fn_conv(audio, f0, sid_j, p_len_j,
@@ -435,7 +453,7 @@ class Pipeline:
             else:
                 out = fn_conv(audio, f0, sid_j, p_len_j, prot_j)
         elif _os.environ.get("RVC_TPU_PACK", "1") == "1":
-            f0p, convp = self._get_packed(use_index, rmvpe)
+            f0p, convp = self._get_packed(use_index, rmvpe, trim_frames)
             sb, hb, rb = self._packed["bufs"]
             with trace_span("dispatch/f0_program"):
                 f0 = f0p(rb, audio, ps_j, ats_j)
@@ -449,11 +467,13 @@ class Pipeline:
                                 prot_j)
         else:
             dtype = _compute_dtype()
-            key = ("plain", use_index, jnp.dtype(dtype).name, _f16_out())
+            key = ("plain", use_index, jnp.dtype(dtype).name, _f16_out(),
+                   trim_frames)
             if "f0" not in self._fused:
                 self._fused["f0"] = self._build_f0_program()
             if key not in self._fused:
-                self._fused[key] = self._build_fused(use_index, dtype, _f16_out())
+                self._fused[key] = self._build_fused(use_index, dtype,
+                                                     _f16_out(), trim_frames)
             f0 = self._fused["f0"](rmvpe.variables, audio, ps_j, ats_j)
             if use_index:
                 out = self._fused[key](
@@ -475,12 +495,12 @@ class Pipeline:
             except (AttributeError, RuntimeError):
                 pass
         if defer:
-            return out, p_len
-        return self._materialize(out, p_len)
+            return out, p_len, trim_frames
+        return self._materialize(out, p_len, trim_frames)
 
-    def _materialize(self, out, p_len: int) -> np.ndarray:
+    def _materialize(self, out, p_len: int, trim_frames: int = 0) -> np.ndarray:
         out = np.asarray(out)[0].astype(np.float32)
-        return out[: p_len * (self.tgt_sr // 100)]
+        return out[: max(p_len - 2 * trim_frames, 0) * (self.tgt_sr // 100)]
 
     def refresh(self) -> None:
         """Drop cached compiled programs (call after swapping weights)."""
@@ -654,7 +674,8 @@ class Pipeline:
                     pending.append(self.fused_convert(
                         chunk, sid, pitch_shift,
                         f0_autotune_strength if f0_autotune else 0.0,
-                        protect, index, index_rate, defer=True))
+                        protect, index, index_rate, defer=True,
+                        trim_frames=t_pad // self.window))
             else:
                 p_len = len(chunk) // self.window
                 if pitch_guidance:
@@ -672,11 +693,13 @@ class Pipeline:
         pad_tgt = int(t_pad * (self.tgt_sr / SAMPLE_RATE))
         for item in pending:
             if isinstance(item, tuple):
+                # fused chunks arrive with the pad context already
+                # trimmed on device
                 with trace_span("fetch/materialize"):
-                    conv = self._materialize(*item)
+                    out_chunks.append(self._materialize(*item))
             else:
                 conv = item
-            out_chunks.append(conv[pad_tgt:-pad_tgt] if pad_tgt else conv)
+                out_chunks.append(conv[pad_tgt:-pad_tgt] if pad_tgt else conv)
 
         audio_out = np.concatenate(out_chunks) if len(out_chunks) > 1 else out_chunks[0]
 
