@@ -148,3 +148,87 @@ def test_conv1d_cout1_packed_matches_torch(rng, cin, k, T):
                                    (k - 1) // 2))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "k,stride,pad,cout,L",
+    [(80, 40, 20, 8, 1930), (4, 2, 1, 8, 1931), (10, 5, 0, 6, 1933)],
+)
+def test_conv1d_cin1_fast_path_gradients(rng, k, stride, pad, cout, L):
+    """Training differentiates through the C_in==1 framed path (NSF
+    noise_convs, HuBERT conv0): grads must match torch autograd."""
+    import jax
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((1, L, 1)).astype(np.float32)
+    tconv = torch.nn.Conv1d(1, cout, k, stride=stride, padding=pad)
+    w = tconv.weight.detach().numpy().transpose(2, 1, 0)
+    b = tconv.bias.detach().numpy()
+
+    xt = torch.from_numpy(x).permute(0, 2, 1).requires_grad_(True)
+    out_t = tconv(xt)
+    loss_t = (out_t ** 2).sum()
+    loss_t.backward()
+    gx_ref = xt.grad.permute(0, 2, 1).numpy()
+    gw_ref = tconv.weight.grad.numpy().transpose(2, 1, 0)
+
+    def loss(xj, wj, bj):
+        return (conv1d(xj, wj, bj, stride=stride, padding=pad) ** 2).sum()
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(gx), gx_ref, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), gw_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_conv1d_cout1_fast_path_gradients(rng):
+    """Same for the C_out==1 packed path (HiFi-GAN conv_post)."""
+    import jax
+    import jax.numpy as jnp
+    from rvc_tpu.ops.conv import _conv1d_cout1_packed
+
+    cin, k, T = 32, 7, 4096
+    x = rng.standard_normal((1, T, cin)).astype(np.float32)
+    tconv = torch.nn.Conv1d(cin, 1, k, padding=3, bias=False)
+    w = tconv.weight.detach().numpy().transpose(2, 1, 0)
+
+    xt = torch.from_numpy(x).permute(0, 2, 1).requires_grad_(True)
+    loss_t = (tconv(xt) ** 2).sum()
+    loss_t.backward()
+    gx_ref = xt.grad.permute(0, 2, 1).numpy()
+    gw_ref = tconv.weight.grad.numpy().transpose(2, 1, 0)
+
+    def loss(xj, wj):
+        return (_conv1d_cout1_packed(xj, wj, None, 3) ** 2).sum()
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(gx), gx_ref, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), gw_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_conv_transpose1d_gradients(rng):
+    """Generator upsample stack trains through conv_transpose1d."""
+    import jax
+    import jax.numpy as jnp
+
+    cin, cout, k, stride, pad, outpad = 8, 4, 20, 10, 5, 0
+    T = 37
+    x = rng.standard_normal((1, T, cin)).astype(np.float32)
+    tconv = torch.nn.ConvTranspose1d(cin, cout, k, stride=stride,
+                                     padding=pad, output_padding=outpad,
+                                     bias=False)
+    w = tconv.weight.detach().numpy().transpose(2, 0, 1)  # (K, Cin, Cout)
+
+    xt = torch.from_numpy(x).permute(0, 2, 1).requires_grad_(True)
+    loss_t = (tconv(xt) ** 2).sum()
+    loss_t.backward()
+    gx_ref = xt.grad.permute(0, 2, 1).numpy()
+    gw_ref = tconv.weight.grad.numpy().transpose(2, 0, 1)
+
+    def loss(xj, wj):
+        return (conv_transpose1d(xj, wj, stride=stride, padding=pad,
+                                 output_padding=outpad) ** 2).sum()
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(gx), gx_ref, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), gw_ref, rtol=1e-3, atol=1e-3)
