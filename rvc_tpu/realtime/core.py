@@ -83,7 +83,7 @@ class Realtime:
         self.pitch_buffer = np.zeros(self.convert_feature_size, dtype=np.int32)
         self.pitchf_buffer = np.zeros(self.convert_feature_size, dtype=np.float32)
         self.block_16k = block_16k
-        self._block_fn = None       # fused block program is shape-bound
+        self._block_fns = None      # fused block programs are shape-bound
         self._pitchf_dev = None
 
     # ------------------------------------------------------------------
@@ -117,13 +117,14 @@ class Realtime:
 
         if os.environ.get("RVC_TPU_RT_FUSED", "1") != "1":
             return False
-        if self.f0_method != "rmvpe" or not self.rvc.pipeline.cfg_use_f0:
-            return False
-        return not (index_rate > 0 and self.rvc.index is not None)
+        return self.f0_method == "rmvpe" and self.rvc.pipeline.cfg_use_f0
 
-    def _get_block_program(self):
-        if getattr(self, "_block_fn", None) is not None:
-            return self._block_fn
+    def _get_block_program(self, use_index: bool = False):
+        cache = getattr(self, "_block_fns", None)
+        if cache is None:
+            cache = self._block_fns = {}
+        if use_index in cache:
+            return cache[use_index]
         import jax
         import jax.numpy as jnp
         from rvc_tpu.models.rmvpe import decode_salience
@@ -132,6 +133,7 @@ class Realtime:
         from rvc_tpu.pipelines.offline import (
             F0_MAX, F0_MIN, _upsample_protect, autotune_f0_jnp,
             coarse_f0_jnp)
+        from rvc_tpu.retrieval.ivf import _ivf_search, index_blend
         from rvc_tpu.utils.packing import unpack_tree
 
         pipe = self.rvc.pipeline
@@ -158,7 +160,8 @@ class Realtime:
             "RVC_TPU_PALLAS_MEL",
             "1" if jax.default_backend() == "tpu" else "0") == "1")
 
-        def fn(rb, sb, hb, audio, pitchf_prev, sid, protect, ps, ats):
+        def fn(rb, sb, hb, audio, pitchf_prev, sid, protect, ps, ats,
+               ir=None, index_arrays=None, nprobe=1):
             rmvpe_vars = unpack_tree(rb, rs)
             synth_vars = unpack_tree(sb, ss)
             hubert_vars = unpack_tree(hb, hs)
@@ -188,12 +191,18 @@ class Realtime:
 
             feats = hubert.apply(hubert_vars, audio,
                                  output_hidden_states=True)
+            feats_raw = feats
+            if use_index:
+                vectors, vec_sq, list_ids, centroids = index_arrays
+                d, i = _ivf_search(feats[0], vectors, vec_sq, list_ids,
+                                   centroids, 8, nprobe)
+                feats = index_blend(feats[0], vectors[i], d, ir)[None]
             t_feat = feats.shape[1] * 2
             pf = new_pitchf[:, :t_feat]
             if t_feat > F:
                 pf = jnp.pad(pf, ((0, 0), (0, t_feat - F)))
             pitch_c = coarse_f0_jnp(pf)
-            feats_up = _upsample_protect(feats, feats, pf, protect)
+            feats_up = _upsample_protect(feats, feats_raw, pf, protect)
             lengths = jnp.full((1,), min(F, t_feat), dtype=jnp.int32)
             wave, _ = synth.apply(synth_vars, feats_up, lengths, pitch_c,
                                   pf, sid, rng=source_noise_rng(),
@@ -201,9 +210,11 @@ class Realtime:
             block = wave[:, skip * spf : (skip + ret) * spf, 0]
             return block.astype(jnp.float16), new_pitchf
 
-        self._block_fn = jax.jit(fn)
-        self._pitchf_dev = jnp.zeros((1, F), jnp.float32)
-        return self._block_fn
+        jitted = jax.jit(fn, static_argnames=("nprobe",))
+        self._block_fns[use_index] = jitted
+        if getattr(self, "_pitchf_dev", None) is None:
+            self._pitchf_dev = jnp.zeros((1, F), jnp.float32)
+        return jitted
 
     def inference(
         self,
@@ -228,13 +239,14 @@ class Realtime:
         if self._fused_block_ok(index_rate, f0_autotune):
             import jax.numpy as jnp
 
-            fn = self._get_block_program()
+            use_index = index_rate > 0 and self.rvc.index is not None
+            fn = self._get_block_program(use_index)
             pipe = self.rvc.pipeline
             sb, hb, rb = pipe._packed["bufs"]
             buf = self.convert_buffer
             if self._block_pad:
                 buf = np.pad(buf, (0, self._block_pad), mode="reflect")
-            block, self._pitchf_dev = fn(
+            args = (
                 rb, sb, hb,
                 jnp.asarray(buf[None].astype(np.float16)),
                 self._pitchf_dev,
@@ -244,6 +256,15 @@ class Realtime:
                 pipe._dev_scalar(
                     "f", float(f0_autotune_strength if f0_autotune else 0.0),
                     np.float32, vec=False))
+            if use_index:
+                idx = self.rvc.index
+                block, self._pitchf_dev = fn(
+                    *args,
+                    pipe._dev_scalar("f", float(index_rate), np.float32,
+                                     vec=False),
+                    idx._dev(), nprobe=idx.nprobe)
+            else:
+                block, self._pitchf_dev = fn(*args)
             try:
                 block.copy_to_host_async()
             except (AttributeError, RuntimeError):

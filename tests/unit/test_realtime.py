@@ -110,3 +110,43 @@ def test_fused_block_matches_staged(monkeypatch):
         corr = np.corrcoef(s, f)[0, 1] if s.std() > 0 and f.std() > 0 else 1.0
         np.testing.assert_allclose(f, s, atol=5e-3)
         assert corr > 0.999
+
+
+@pytest.mark.slow
+def test_fused_block_with_index_matches_staged(monkeypatch, tmp_path):
+    """Fused realtime block with retrieval blending must match the staged
+    path (index search + 1/d^2 blend inside the block program)."""
+    import jax.numpy as jnp
+    from rvc_tpu.api import RVC
+    from rvc_tpu.configs import get_config
+    from rvc_tpu.realtime.core import Realtime, AUDIO_SAMPLE_RATE
+    from rvc_tpu.retrieval import build_index
+
+    cfg = get_config(32000, model_spk_embed_dim=2, model_n_layers=1,
+                     model_upsample_initial_channel=64)
+    rvc = RVC(config=cfg, seed=0)
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((256, 768)).astype(np.float32)
+    rvc.index = build_index(vecs, nlist=4)
+
+    def mk():
+        rt = Realtime(rvc, f0_method="rmvpe")
+        rt.realloc(48 * 128, int(0.2 * AUDIO_SAMPLE_RATE),
+                   int(0.05 * AUDIO_SAMPLE_RATE), AUDIO_SAMPLE_RATE // 100)
+        return rt
+
+    t = np.arange(2 * 48 * 128) / AUDIO_SAMPLE_RATE
+    audio = (0.4 * np.sin(2 * np.pi * 220 * t)
+             + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+    blocks = [audio[i * 48 * 128: (i + 1) * 48 * 128] for i in range(2)]
+
+    monkeypatch.setenv("RVC_TPU_RT_FUSED", "0")
+    staged = [mk_rt.inference(b, index_rate=0.7)[0]
+              for mk_rt in [mk()] for b in blocks]
+    monkeypatch.setenv("RVC_TPU_RT_FUSED", "1")
+    fused = [mk_rt.inference(b, index_rate=0.7)[0]
+             for mk_rt in [mk()] for b in blocks]
+
+    for s, f in zip(staged, fused):
+        assert s.shape == f.shape
+        np.testing.assert_allclose(f, s, atol=5e-3)
