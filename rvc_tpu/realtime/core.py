@@ -28,6 +28,91 @@ SAMPLE_RATE = 16000  # internal conversion rate
 AUDIO_SAMPLE_RATE = 48000  # client/device rate
 
 
+def build_block_program(pipe, *, sf, bf, F, skip, ret, spf, win, L,
+                        use_index=False):
+    """Fused realtime block program, batch-agnostic: audio (B, Lp) f16 +
+    pitch state (B, F) -> (block (B, ret*spf) f16, new pitch state).
+    Shared by the single-stream `Realtime` and the multi-stream pool."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from rvc_tpu.models.rmvpe import decode_salience
+    from rvc_tpu.models.synthesizer import source_noise_rng
+    from rvc_tpu.ops.stft import log_mel_spectrogram
+    from rvc_tpu.pipelines.offline import (
+        F0_MAX, F0_MIN, _upsample_protect, autotune_f0_jnp, coarse_f0_jnp)
+    from rvc_tpu.retrieval.ivf import _ivf_search, index_blend
+    from rvc_tpu.utils.packing import unpack_tree
+
+    rmvpe = pipe._get_rmvpe()
+    pipe._rmvpe_model = rmvpe.model
+    pipe._get_packed(False, rmvpe)  # ensure packed buffers exist
+    ss, hs, rs = pipe._packed["specs"]
+    synth = pipe.synthesizer
+    hubert = pipe.hubert
+    rmvpe_model = rmvpe.model
+    use_pallas = (os.environ.get(
+        "RVC_TPU_PALLAS_MEL",
+        "1" if jax.default_backend() == "tpu" else "0") == "1")
+
+    def fn(rb, sb, hb, audio, pitchf_prev, sid, protect, ps, ats,
+           ir=None, index_arrays=None, nprobe=1):
+        rmvpe_vars = unpack_tree(rb, rs)
+        synth_vars = unpack_tree(sb, ss)
+        hubert_vars = unpack_tree(hb, hs)
+        audio = audio.astype(jnp.float32)
+        B = audio.shape[0]
+
+        tail = audio[:, sf * win : L]
+        n_tail = tail.shape[1] // win
+        if use_pallas:
+            from rvc_tpu.ops.pallas.melspec import pallas_log_mel
+
+            mel = pallas_log_mel(tail, 1024, win, 128, SAMPLE_RATE,
+                                 30.0, 8000.0, htk=True)
+        else:
+            mel = log_mel_spectrogram(tail, 1024, 128, SAMPLE_RATE, win,
+                                      1024, fmin=30, fmax=8000, htk=True)
+        nf = mel.shape[1]
+        pad = 32 * ((nf - 1) // 32 + 1) - nf
+        melp = (jnp.pad(mel, ((0, 0), (0, pad), (0, 0)), mode="reflect")
+                if pad else mel)
+        hidden = rmvpe_model.apply(rmvpe_vars, melp)[:, :nf]
+        f0 = decode_salience(hidden, 0.03)[:, :n_tail]
+        f0 = jnp.where((f0 >= F0_MIN) & (f0 <= F0_MAX), f0, 0.0)
+        f0 = autotune_f0_jnp(f0, ats) * 2.0 ** (ps / 12.0)
+        # roll the pitch state left by one block, overwrite the tail
+        new_pitchf = jnp.concatenate(
+            [pitchf_prev[:, bf : bf + (F - n_tail)], f0], axis=1)
+
+        feats = hubert.apply(hubert_vars, audio,
+                             output_hidden_states=True)
+        feats_raw = feats
+        if use_index:
+            vectors, vec_sq, list_ids, centroids = index_arrays
+            q = feats.reshape(-1, feats.shape[-1])
+            d, i = _ivf_search(q, vectors, vec_sq, list_ids,
+                               centroids, 8, nprobe)
+            feats = index_blend(q, vectors[i], d, ir).reshape(feats.shape)
+        t_feat = feats.shape[1] * 2
+        pf = new_pitchf[:, :t_feat]
+        if t_feat > F:
+            pf = jnp.pad(pf, ((0, 0), (0, t_feat - F)))
+        pitch_c = coarse_f0_jnp(pf)
+        feats_up = _upsample_protect(feats, feats_raw, pf, protect)
+        lengths = jnp.full((B,), min(F, t_feat), dtype=jnp.int32)
+        wave, _ = synth.apply(synth_vars, feats_up, lengths, pitch_c,
+                              pf, sid, rng=source_noise_rng(),
+                              method=synth.infer)
+        block = wave[:, skip * spf : (skip + ret) * spf, 0]
+        return block.astype(jnp.float16), new_pitchf
+
+    import jax as _jax
+
+    return _jax.jit(fn, static_argnames=("nprobe",))
+
+
 class Realtime:
     """Block converter over a fixed circular 16 kHz buffer."""
 
@@ -125,95 +210,21 @@ class Realtime:
             cache = self._block_fns = {}
         if use_index in cache:
             return cache[use_index]
-        import jax
         import jax.numpy as jnp
-        from rvc_tpu.models.rmvpe import decode_salience
-        from rvc_tpu.models.synthesizer import source_noise_rng
-        from rvc_tpu.ops.stft import log_mel_spectrogram
-        from rvc_tpu.pipelines.offline import (
-            F0_MAX, F0_MIN, _upsample_protect, autotune_f0_jnp,
-            coarse_f0_jnp)
-        from rvc_tpu.retrieval.ivf import _ivf_search, index_blend
-        from rvc_tpu.utils.packing import unpack_tree
 
         pipe = self.rvc.pipeline
-        rmvpe = pipe._get_rmvpe()
-        pipe._rmvpe_model = rmvpe.model
-        pipe._get_packed(False, rmvpe)  # ensure packed buffers exist
-        ss, hs, rs = pipe._packed["specs"]
-        synth = pipe.synthesizer
-        hubert = pipe.hubert
-        rmvpe_model = rmvpe.model
-
-        sf, bf = self.silence_front_frames, self.block_16k // self.window_size
-        F = self.convert_feature_size
-        skip, ret = self.skip_head, self.return_length
-        spf = self.rvc.cfg.data.sample_rate // 100
-        win = self.window_size
-        # bucket-pad like the staged path so HuBERT's frame grid covers
-        # the full return region (t_feat >= F); f0 still reads only the
-        # true (unpadded) tail
         L = len(self.convert_buffer)
         self._block_pad = pipe._bucket_samples(L) - L
-        import os
-        use_pallas = (os.environ.get(
-            "RVC_TPU_PALLAS_MEL",
-            "1" if jax.default_backend() == "tpu" else "0") == "1")
-
-        def fn(rb, sb, hb, audio, pitchf_prev, sid, protect, ps, ats,
-               ir=None, index_arrays=None, nprobe=1):
-            rmvpe_vars = unpack_tree(rb, rs)
-            synth_vars = unpack_tree(sb, ss)
-            hubert_vars = unpack_tree(hb, hs)
-            audio = audio.astype(jnp.float32)
-
-            tail = audio[:, sf * win : L]
-            n_tail = tail.shape[1] // win
-            if use_pallas:
-                from rvc_tpu.ops.pallas.melspec import pallas_log_mel
-
-                mel = pallas_log_mel(tail, 1024, win, 128, SAMPLE_RATE,
-                                     30.0, 8000.0, htk=True)
-            else:
-                mel = log_mel_spectrogram(tail, 1024, 128, SAMPLE_RATE, win,
-                                          1024, fmin=30, fmax=8000, htk=True)
-            nf = mel.shape[1]
-            pad = 32 * ((nf - 1) // 32 + 1) - nf
-            melp = (jnp.pad(mel, ((0, 0), (0, pad), (0, 0)), mode="reflect")
-                    if pad else mel)
-            hidden = rmvpe_model.apply(rmvpe_vars, melp)[:, :nf]
-            f0 = decode_salience(hidden, 0.03)[:, :n_tail]
-            f0 = jnp.where((f0 >= F0_MIN) & (f0 <= F0_MAX), f0, 0.0)
-            f0 = autotune_f0_jnp(f0, ats) * 2.0 ** (ps / 12.0)
-            # roll the pitch state left by one block, overwrite the tail
-            new_pitchf = jnp.concatenate(
-                [pitchf_prev[:, bf : bf + (F - n_tail)], f0], axis=1)
-
-            feats = hubert.apply(hubert_vars, audio,
-                                 output_hidden_states=True)
-            feats_raw = feats
-            if use_index:
-                vectors, vec_sq, list_ids, centroids = index_arrays
-                d, i = _ivf_search(feats[0], vectors, vec_sq, list_ids,
-                                   centroids, 8, nprobe)
-                feats = index_blend(feats[0], vectors[i], d, ir)[None]
-            t_feat = feats.shape[1] * 2
-            pf = new_pitchf[:, :t_feat]
-            if t_feat > F:
-                pf = jnp.pad(pf, ((0, 0), (0, t_feat - F)))
-            pitch_c = coarse_f0_jnp(pf)
-            feats_up = _upsample_protect(feats, feats_raw, pf, protect)
-            lengths = jnp.full((1,), min(F, t_feat), dtype=jnp.int32)
-            wave, _ = synth.apply(synth_vars, feats_up, lengths, pitch_c,
-                                  pf, sid, rng=source_noise_rng(),
-                                  method=synth.infer)
-            block = wave[:, skip * spf : (skip + ret) * spf, 0]
-            return block.astype(jnp.float16), new_pitchf
-
-        jitted = jax.jit(fn, static_argnames=("nprobe",))
+        jitted = build_block_program(
+            pipe, sf=self.silence_front_frames,
+            bf=self.block_16k // self.window_size,
+            F=self.convert_feature_size, skip=self.skip_head,
+            ret=self.return_length, spf=self.rvc.cfg.data.sample_rate // 100,
+            win=self.window_size, L=L, use_index=use_index)
         self._block_fns[use_index] = jitted
         if getattr(self, "_pitchf_dev", None) is None:
-            self._pitchf_dev = jnp.zeros((1, F), jnp.float32)
+            self._pitchf_dev = jnp.zeros((1, self.convert_feature_size),
+                                         jnp.float32)
         return jitted
 
     def inference(

@@ -92,7 +92,7 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
 
     g = gcd(int(orig_sr), int(target_sr))
     out = signal.resample_poly(audio.astype(np.float64),
-                               target_sr // g, orig_sr // g)
+                               target_sr // g, orig_sr // g, axis=-1)
     return out.astype(np.float32)
 
 

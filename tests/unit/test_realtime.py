@@ -85,7 +85,7 @@ def test_fused_block_matches_staged(monkeypatch):
 
     def mk(env):
         monkeypatch.setenv("RVC_TPU_RT_FUSED", env)
-        rt = Realtime(rvc, f0_method="rmvpe")
+        rt = Realtime(rvc, f0_method="rmvpe", silent_threshold=-90)
         rt.realloc(48 * 128, int(0.2 * AUDIO_SAMPLE_RATE),
                    int(0.05 * AUDIO_SAMPLE_RATE), AUDIO_SAMPLE_RATE // 100)
         return rt
@@ -103,13 +103,14 @@ def test_fused_block_matches_staged(monkeypatch):
     rt_fused = mk("1")
     fused = [rt_fused.inference(b, index_rate=0.0)[0] for b in blocks]
 
+    assert any(np.abs(f).max() > 1e-4 for f in fused), "outputs all gated"
     for s, f in zip(staged, fused):
         assert s.shape == f.shape
         assert np.isfinite(f).all()
         # identical math up to f16 I/O quantization and reduction order
-        corr = np.corrcoef(s, f)[0, 1] if s.std() > 0 and f.std() > 0 else 1.0
         np.testing.assert_allclose(f, s, atol=5e-3)
-        assert corr > 0.999
+        if s.std() > 0 and f.std() > 0:
+            assert np.corrcoef(s, f)[0, 1] > 0.999
 
 
 @pytest.mark.slow
@@ -130,7 +131,7 @@ def test_fused_block_with_index_matches_staged(monkeypatch, tmp_path):
     rvc.index = build_index(vecs, nlist=4)
 
     def mk():
-        rt = Realtime(rvc, f0_method="rmvpe")
+        rt = Realtime(rvc, f0_method="rmvpe", silent_threshold=-90)
         rt.realloc(48 * 128, int(0.2 * AUDIO_SAMPLE_RATE),
                    int(0.05 * AUDIO_SAMPLE_RATE), AUDIO_SAMPLE_RATE // 100)
         return rt
@@ -147,6 +148,51 @@ def test_fused_block_with_index_matches_staged(monkeypatch, tmp_path):
     fused = [mk_rt.inference(b, index_rate=0.7)[0]
              for mk_rt in [mk()] for b in blocks]
 
+    assert any(np.abs(f).max() > 1e-4 for f in fused), "outputs all gated"
     for s, f in zip(staged, fused):
         assert s.shape == f.shape
         np.testing.assert_allclose(f, s, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_voice_changer_pool_matches_single_streams(monkeypatch):
+    """Pool (N streams, one batched block program) must produce the same
+    audio per stream as N single-stream VoiceChangers. Noise disabled:
+    batched RNG draws differ from single-stream draws by shape."""
+    from rvc_tpu.api import RVC
+    from rvc_tpu.configs import get_config
+    from rvc_tpu.realtime.core import VoiceChanger, AUDIO_SAMPLE_RATE
+    from rvc_tpu.realtime.pool import VoiceChangerPool
+
+    monkeypatch.setenv("RVC_TPU_SOURCE_NOISE", "0")
+    monkeypatch.setenv("RVC_TPU_RT_FUSED", "1")
+    cfg = get_config(32000, model_spk_embed_dim=2, model_n_layers=1,
+                     model_upsample_initial_channel=64)
+    rvc = RVC(config=cfg, seed=0)
+
+    kw = dict(read_chunk_size=48, cross_fade_overlap_size=0.05,
+              extra_convert_size=0.2)
+    pool = VoiceChangerPool(rvc, n_streams=2, silent_threshold=-90, **kw)
+    singles = [VoiceChanger(rvc, silent_threshold=-90, **kw)
+               for _ in range(2)]
+
+    rng = np.random.default_rng(0)
+    block = 48 * 128
+    t = np.arange(2 * block) / AUDIO_SAMPLE_RATE
+    streams = np.stack([
+        (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32),
+        (0.3 * np.sin(2 * np.pi * 330 * t)
+         + 0.01 * rng.standard_normal(len(t))).astype(np.float32),
+    ])
+
+    got_any = False
+    for i in range(2):
+        blocks = streams[:, i * block : (i + 1) * block]
+        pooled, vols = pool.process(blocks)
+        for s in range(2):
+            single, _, _ = singles[s].on_request(blocks[s])
+            assert pooled[s].shape == single.shape
+            np.testing.assert_allclose(pooled[s], single, atol=5e-3)
+            if np.abs(single).max() > 1e-4:
+                got_any = True
+    assert got_any, "outputs all gated/silent"
