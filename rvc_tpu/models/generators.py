@@ -47,7 +47,7 @@ def _stage_resblocks(module, x, chan, kernel_sizes, dilation_sizes,
             resblock_group,
         )
 
-        if fused_resblock_enabled() and _sub_channels(chan) <= LANE:
+        if fused_resblock_enabled() and _sub_channels(chan) <= 2 * LANE:
             weights = []
             for j in range(n_kernels):
                 sub = module.scope.get_variable(

@@ -309,7 +309,10 @@ def fused_resblock_group(
     cprime = _sub_channels(C)
     pack = max(1, LANE // cprime)
     PC = pack * cprime
-    assert PC <= LANE, "group kernel supports pack*C' <= 128 only"
+    # C == 256 runs un-packed with a 256-lane tile (two native lane
+    # groups): banks are (J, 256, 256) bf16 ≈ 5.5 MB for the NSF stage-0
+    # chain set, which fits scoped VMEM beside a 512-row tile
+    assert PC <= 2 * LANE, "group kernel supports pack*C' <= 256"
 
     banks, metas, b1_rows, b2_rows = [], [], [], []
     off = boff = 0
@@ -342,10 +345,13 @@ def fused_resblock_group(
             for (_, sh1, _, _, sh2) in meta)
         for meta in metas)
     halo = ((reach_rows + 7) // 8) * 8
-    # the group kernel holds ~7 (W, 128) f32 temporaries + ALL blocks'
+    # the group kernel holds ~7 (W, PC) f32 temporaries + ALL blocks'
     # tap banks in scoped VMEM; 1536 rows with a 126-bank stage measured
     # 18.07 MB and OOMed the 16 MB limit -> shrink tile with bank count
-    tile = 1536 if off <= 48 else 1024
+    if PC > LANE:
+        tile = 512
+    else:
+        tile = 1536 if off <= 48 else 1024
 
     R = math.ceil(T / pack)
     if cprime != C:

@@ -101,7 +101,7 @@ def _group_weights(C, kernel_sizes, dils, key):
     return tuple(weights), variables_list
 
 
-@pytest.mark.parametrize("C,T", [(16, 700), (32, 500), (128, 300)])
+@pytest.mark.parametrize("C,T", [(16, 700), (32, 500), (128, 300), (256, 200)])
 def test_fused_resblock_group_matches_mean(rng, C, T):
     """Group kernel == mean of the three standalone flax ResBlocks."""
     from rvc_tpu.ops.pallas.resblock import fused_resblock_group
