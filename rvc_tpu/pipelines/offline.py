@@ -133,6 +133,14 @@ def _f16_in() -> bool:
     return _os.environ.get("RVC_TPU_F16_IN", "1") == "1"
 
 
+def _one_dispatch() -> bool:
+    """RVC_TPU_ONE_DISPATCH=1 merges the f0 and conversion programs into
+    a single executable (one remote execute per chunk instead of two)."""
+    import os as _os
+
+    return _os.environ.get("RVC_TPU_ONE_DISPATCH", "0") == "1"
+
+
 class Pipeline:
     """Offline conversion pipeline over injected jitted models.
 
@@ -336,13 +344,38 @@ class Pipeline:
             rb, rs = pack_tree(rmvpe.variables)
             self._packed = dict(bufs=(sb, hb, rb), specs=(ss, hs, rs))
             self._packed_dtype = dtype
+        one_dispatch = _one_dispatch()
         key = ("packed", use_index, jnp.dtype(dtype).name, f16_out,
-               trim_frames)
+               trim_frames, one_dispatch)
         if key not in self._fused:
             ss, hs, rs = self._packed["specs"]
             fn_f0 = self._build_f0_program()
             fn_conv = self._build_fused(use_index, dtype, f16_out,
                                         trim_frames)
+
+            if one_dispatch:
+                # f0 + conversion as ONE executable: on a remote-dispatch
+                # link each execute carries fixed per-call overhead, and
+                # the merged program also lets XLA overlap the (f32) f0
+                # U-Net with HuBERT instead of serializing two programs
+                if use_index:
+                    allp = jax.jit(
+                        lambda sb, hb, rb, audio, ps, ats, sid, pl, prot,
+                        ir, idx, nprobe:
+                        fn_conv(unpack_tree(sb, ss), unpack_tree(hb, hs),
+                                audio,
+                                fn_f0(unpack_tree(rb, rs), audio, ps, ats),
+                                sid, pl, prot, ir, idx, nprobe=nprobe),
+                        static_argnames=("nprobe",))
+                else:
+                    allp = jax.jit(
+                        lambda sb, hb, rb, audio, ps, ats, sid, pl, prot:
+                        fn_conv(unpack_tree(sb, ss), unpack_tree(hb, hs),
+                                audio,
+                                fn_f0(unpack_tree(rb, rs), audio, ps, ats),
+                                sid, pl, prot, 0.0))
+                self._fused[key] = (allp,)
+                return self._fused[key]
 
             f0p = jax.jit(lambda rb, audio, ps, ats: fn_f0(
                 unpack_tree(rb, rs), audio, ps, ats))
@@ -453,18 +486,29 @@ class Pipeline:
             else:
                 out = fn_conv(audio, f0, sid_j, p_len_j, prot_j)
         elif _os.environ.get("RVC_TPU_PACK", "1") == "1":
-            f0p, convp = self._get_packed(use_index, rmvpe, trim_frames)
+            fns = self._get_packed(use_index, rmvpe, trim_frames)
             sb, hb, rb = self._packed["bufs"]
-            with trace_span("dispatch/f0_program"):
-                f0 = f0p(rb, audio, ps_j, ats_j)
-            with trace_span("dispatch/conv_program"):
-                if use_index:
-                    out = convp(sb, hb, audio, f0, sid_j, p_len_j,
-                                prot_j, ir_j, index._dev(),
-                                nprobe=index.nprobe)
-                else:
-                    out = convp(sb, hb, audio, f0, sid_j, p_len_j,
-                                prot_j)
+            if len(fns) == 1:  # merged one-dispatch program
+                with trace_span("dispatch/all_program"):
+                    if use_index:
+                        out = fns[0](sb, hb, rb, audio, ps_j, ats_j, sid_j,
+                                     p_len_j, prot_j, ir_j, index._dev(),
+                                     nprobe=index.nprobe)
+                    else:
+                        out = fns[0](sb, hb, rb, audio, ps_j, ats_j, sid_j,
+                                     p_len_j, prot_j)
+            else:
+                f0p, convp = fns
+                with trace_span("dispatch/f0_program"):
+                    f0 = f0p(rb, audio, ps_j, ats_j)
+                with trace_span("dispatch/conv_program"):
+                    if use_index:
+                        out = convp(sb, hb, audio, f0, sid_j, p_len_j,
+                                    prot_j, ir_j, index._dev(),
+                                    nprobe=index.nprobe)
+                    else:
+                        out = convp(sb, hb, audio, f0, sid_j, p_len_j,
+                                    prot_j)
         else:
             dtype = _compute_dtype()
             key = ("plain", use_index, jnp.dtype(dtype).name, _f16_out(),

@@ -81,6 +81,25 @@ def test_f16_input_matches_f32(tiny_rvc, sine_wave, monkeypatch):
 
 
 @pytest.mark.slow
+def test_one_dispatch_matches_two_program(tiny_rvc, sine_wave, monkeypatch):
+    """RVC_TPU_ONE_DISPATCH=1 (f0 + conversion merged into a single
+    executable) must produce the same waveform as the two-program path
+    up to the source-noise RNG draw (same rng key -> bit-equal graphs,
+    so correlation should be ~1)."""
+    y, _ = sine_wave
+    chunk = y[:14080]
+    monkeypatch.setenv("RVC_TPU_ONE_DISPATCH", "0")
+    out_two = tiny_rvc.infer(chunk, f0_method="rmvpe")
+    monkeypatch.setenv("RVC_TPU_ONE_DISPATCH", "1")
+    out_one = tiny_rvc.infer(chunk, f0_method="rmvpe")
+
+    n = min(len(out_two), len(out_one))
+    assert n > 0
+    corr = np.corrcoef(out_two[:n], out_one[:n])[0, 1]
+    assert corr > 0.9999, f"one-dispatch/two-program corr {corr:.6f}"
+
+
+@pytest.mark.slow
 def test_bf16_policy_matches_f32(tiny_rvc, sine_wave, monkeypatch):
     """RVC_TPU_BF16=1 (bf16 HuBERT/enc_p/flow, f32 decoder activations)
     must be spectrally indistinguishable from the f32 path."""
