@@ -135,10 +135,14 @@ def _f16_in() -> bool:
 
 def _one_dispatch() -> bool:
     """RVC_TPU_ONE_DISPATCH=1 merges the f0 and conversion programs into
-    a single executable (one remote execute per chunk instead of two)."""
+    a single executable (one remote execute per chunk instead of two).
+    Default ON for TPU (interleaved A/B on the tunneled chip: 137.6 ms
+    merged vs 155.8 ms two-program, scripts/profile_onedispatch_ab.py);
+    OFF elsewhere to keep CPU test compiles small."""
     import os as _os
 
-    return _os.environ.get("RVC_TPU_ONE_DISPATCH", "0") == "1"
+    default = "1" if jax.default_backend() == "tpu" else "0"
+    return _os.environ.get("RVC_TPU_ONE_DISPATCH", default) == "1"
 
 
 class Pipeline:
