@@ -70,7 +70,10 @@ def main():
         total += timed(f"stage{i} noise_conv (s{stride_f0})", lambda: nz_fn(har))
 
         xs = jax.random.normal(rng, (1, cur_T, co), jnp.float32)
-        if co <= 128 and co * max(1, 128 // co) <= 128:
+        # match the model's dispatch (generators._stage_resblocks): the
+        # group kernel handles pack*C' <= 256, i.e. every NSF stage
+        # including C=256 stage 0
+        if co * max(1, 128 // min(co, 128)) <= 256:
             weights = []
             for kk in rb_k:
                 w1 = jax.random.normal(rng, (3, kk, co, co)) * 0.01
