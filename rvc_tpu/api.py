@@ -231,18 +231,12 @@ class RVC:
         audio = audio_utils.load_audio(audio_input, 16000)
         out = self.infer(audio, **kwargs)
         if export_format.upper() != "WAV":
-            # non-WAV export needs soundfile; fall back to wav with a note
-            try:
-                import soundfile as sf
-
-                path = os.path.splitext(audio_output)[0] + "." + export_format.lower()
-                sf.write(path, out, self.cfg.data.sample_rate,
-                         format=export_format.upper())
-                return path
-            except ImportError:
-                import sys
-
-                print(f"soundfile not available; exporting WAV instead of "
-                      f"{export_format.upper()}", file=sys.stderr)
+            # encode via soundfile or the ffmpeg binary (the reference
+            # converts with ffmpeg, `rvc/infer/infer.py:320-338`); when
+            # neither exists, FAIL rather than silently writing a
+            # different format than the user asked for
+            return audio_utils.encode_audio(
+                out, self.cfg.data.sample_rate,
+                os.path.splitext(audio_output)[0], export_format)
         audio_utils.save_wav(audio_output, out, self.cfg.data.sample_rate)
         return audio_output

@@ -226,9 +226,12 @@ def cmd_preprocess(args):
     os.makedirs(exp_dir, exist_ok=True)
     pre = AudioPreprocessor(exp_dir, args.sample_rate)
     n = pre.process_directory(args.dataset_path, args.cut_preprocess,
+                              cpu_cores=args.cpu_cores,
                               process_effects=args.process_effects,
                               chunk_len=args.chunk_len,
-                              overlap_len=args.overlap_len)
+                              overlap_len=args.overlap_len,
+                              noise_reduction=args.noise_reduction,
+                              noise_reduction_strength=args.noise_reduction_strength)
     print(f"{n} segments written to {exp_dir}")
 
 
@@ -239,7 +242,7 @@ def cmd_extract(args):
     exp_dir = os.path.join(args.logs_dir, args.model_name)
     cfg = get_config(args.sample_rate)
     fe = FeatureExtractor(exp_dir, cfg, f0_method=args.f0_method)
-    n = fe.process_all()
+    n = fe.process_all(batch_size=args.batch_size)
     builder = DatasetBuilder(exp_dir)
     train_rows, val_rows = builder.build()
     builder.write_filelist(os.path.join(exp_dir, "filelist_train.txt"), train_rows)
@@ -259,12 +262,33 @@ def cmd_train(args):
     from rvc_tpu.train.data import DataLoader, RVCDataset
     from rvc_tpu.train.trainer import RVCTrainer
 
+    # multi-host bootstrap (TPU-native analog of the reference's per-GPU
+    # mp.Process + dist.init_process_group, `rvc/train/train.py:163-343`):
+    # jax.distributed rendezvous, then a (data x model) mesh spanning all
+    # processes; each host's loader takes a strided shard of the batches
+    from rvc_tpu.parallel.distributed import (
+        global_mesh, host_shard_info, initialize)
+
+    info = initialize(args.coordinator, args.num_hosts, args.host_id)
+    shard = host_shard_info()
+    mesh = None
+    import jax
+
+    if args.mesh_model > 1 or len(jax.devices()) > 1:
+        mesh = global_mesh(n_model=args.mesh_model)
+    if shard["host_id"] == 0 and (mesh is not None or shard["num_hosts"] > 1):
+        print(f"distributed: {info}; mesh="
+              f"{dict(mesh.shape) if mesh is not None else None}; "
+              f"hosts={shard['num_hosts']}")
+
     exp_dir = os.path.join(args.logs_dir, args.model_name)
+    overrides = json.loads(args.config_overrides) if args.config_overrides else {}
     cfg = get_config(args.sample_rate, train_batch_size=args.batch_size,
                      train_warmup_epochs=args.warmup_epochs,
                      train_d_step_per_g_step=args.d_step_per_g_step,
                      model_vocoder=args.vocoder,
-                     model_checkpointing=args.checkpointing)
+                     model_checkpointing=args.checkpointing,
+                     **overrides)
     rows = DatasetBuilder.read_filelist(os.path.join(exp_dir, "filelist_train.txt"))
     # reattach n_frames for bucketing
     import numpy as np
@@ -273,21 +297,27 @@ def cmd_train(args):
         if "spec" in r and os.path.exists(r["spec"]):
             r["n_frames"] = int(np.load(r["spec"], mmap_mode="r").shape[0])
     ds = RVCDataset(rows, cfg.data.hop_length)
-    loader = DataLoader(ds, args.batch_size)
+    loader = DataLoader(ds, args.batch_size, num_hosts=shard["num_hosts"],
+                        host_id=shard["host_id"],
+                        shuffle=not args.no_shuffle)
     trainer = RVCTrainer(cfg, loader, checkpoint_dir=os.path.join(exp_dir, "ckpt"),
                          use_overtraining_detector=args.overtraining_detector,
                          overtraining_threshold=args.overtraining_threshold,
                          save_only_latest=args.save_only_latest,
                          save_every_weights=args.save_every_weights,
                          cache_data_on_device=args.cache_data_in_gpu,
-                         model_name=args.model_name)
+                         model_name=args.model_name,
+                         mesh=mesh, use_aim=args.use_aim)
     if args.g_pretrained_path or args.d_pretrained_path:
         trainer.load_pretrained(args.g_pretrained_path, args.d_pretrained_path)
     result = trainer.train(args.total_epoch, save_every=args.save_every_epoch)
-    final = trainer.export_inference_model(
-        os.path.join(exp_dir, f"{args.model_name}.safetensors"))
+    final = None
+    if shard["host_id"] == 0:
+        final = trainer.export_inference_model(
+            os.path.join(exp_dir, f"{args.model_name}.safetensors"))
     print(json.dumps({"epochs_run": result["epochs_run"],
-                      "best_loss": result["best_loss"], "model": final}))
+                      "best_loss": result["best_loss"], "model": final,
+                      "host": shard["host_id"]}))
 
 
 def cmd_index(args):
@@ -388,6 +418,11 @@ def main(argv=None):
     p.add_argument("--process_effects", action="store_true", default=True)
     p.add_argument("--chunk_len", type=float, default=3.0)
     p.add_argument("--overlap_len", type=float, default=0.3)
+    p.add_argument("--cpu_cores", type=int, default=os.cpu_count() or 1,
+                   help="file-level preprocessing workers "
+                        "(reference preprocess.py:271)")
+    p.add_argument("--noise_reduction", action="store_true")
+    p.add_argument("--noise_reduction_strength", type=float, default=0.7)
     p.add_argument("--logs_dir", default="logs")
     p.set_defaults(fn=cmd_preprocess)
 
@@ -395,6 +430,8 @@ def main(argv=None):
     p.add_argument("--model_name", required=True)
     p.add_argument("--sample_rate", type=int, default=48000)
     p.add_argument("--f0_method", default="rmvpe")
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="same-length segments batched per device dispatch")
     p.add_argument("--logs_dir", default="logs")
     p.set_defaults(fn=cmd_extract)
 
@@ -419,6 +456,21 @@ def main(argv=None):
                    choices=["HiFi-GAN", "MRF HiFi-GAN", "RefineGAN"])
     p.add_argument("--checkpointing", action="store_true",
                    help="rematerialize the decoder (activation checkpointing)")
+    p.add_argument("--use_aim", action="store_true",
+                   help="track with Aim (raises if aim is not installed)")
+    # distributed flags (reference spawns one worker per GPU,
+    # `rvc/train/train.py:163-230`; here: jax.distributed + device mesh)
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for multi-host training")
+    p.add_argument("--num_hosts", type=int, default=None)
+    p.add_argument("--host_id", type=int, default=None)
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="model-parallel axis size (data axis gets the rest)")
+    p.add_argument("--config_overrides", default=None,
+                   help='JSON dict of get_config kwargs, e.g. '
+                        '\'{"model_n_layers": 2}\'')
+    p.add_argument("--no_shuffle", action="store_true",
+                   help="deterministic batch order (debug/repro runs)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("index")

@@ -296,10 +296,15 @@ class RefineGANGenerator(nn.Module):
         har = jnp.tanh(Linear(1, 1, use_bias=False,
                               name="m_source_merge")(sines)).astype(mel.dtype)
 
-        x = Conv1d(1, 16, 7, padding=3, name="pre_conv")(har)
-        downs = []
-        ch = 16
+        # the reference fixes start_channels=16, which is exactly
+        # upsample_initial_channel / 2^(n_rates+1) at its only supported
+        # size (512, 4 rates — `refinegan.py:295,313`); deriving it keeps
+        # full-size weights identical and makes reduced test configs work
         rates = list(self.upsample_rates)
+        start = max(self.upsample_initial_channel // (2 ** (len(rates) + 1)), 2)
+        x = Conv1d(1, start, 7, padding=3, name="pre_conv")(har)
+        downs = []
+        ch = start
         for i in range(len(rates)):
             factor = rates[-i - 1]
             x = leaky_relu(x, self.slope)

@@ -1,6 +1,13 @@
 """Training monitoring: trackers + voice-quality metrics."""
 
-from rvc_tpu.monitoring.tracker import SimpleTracker, create_tracker
+from rvc_tpu.monitoring.tracker import (
+    AimTracker,
+    RollingMean,
+    SimpleTracker,
+    TensorBoardTracker,
+    create_tracker,
+    spectrogram_image,
+)
 from rvc_tpu.monitoring.voice_metrics import (
     f0_accuracy,
     mel_cepstral_distortion,
@@ -9,7 +16,11 @@ from rvc_tpu.monitoring.voice_metrics import (
 )
 
 __all__ = [
+    "AimTracker",
+    "RollingMean",
     "SimpleTracker",
+    "TensorBoardTracker",
+    "spectrogram_image",
     "create_tracker",
     "f0_accuracy",
     "mel_cepstral_distortion",

@@ -35,9 +35,25 @@ def shard_state(state: TrainState, mesh: Mesh, min_size: int = 1 << 16) -> Train
 
 
 def shard_batch(batch: Batch, mesh: Mesh) -> Batch:
-    return Batch(*[
-        jax.device_put(x, batch_sharding(mesh, x.ndim)) for x in batch
-    ])
+    """Place a host-local batch onto the mesh's "data" axis.
+
+    Single-host: a plain device_put slice. Multi-host: each host's loader
+    yields its OWN rows (`DataLoader(num_hosts, host_id)` strides the
+    batch list), so the global batch is assembled from process-local data
+    — the jax-native DistributedBucketSampler (global batch =
+    per-host batch x num_hosts, every row consumed exactly once)."""
+    multihost = any(d.process_index != jax.process_index()
+                    for d in mesh.devices.flat)
+
+    def put(x):
+        sh = batch_sharding(mesh, getattr(x, "ndim", 0))
+        if multihost:
+            import numpy as np
+
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
+
+    return Batch(*[put(x) for x in batch])
 
 
 def make_sharded_train_step(

@@ -470,11 +470,11 @@ class Pipeline:
         sid_j = self._dev_scalar("sid", sid, np.int32)
         # scalars ship as committed 0-d device arrays (cached) instead of
         # fresh per-call host floats
-        ps_j = self._dev_scalar("f", float(pitch_shift), np.float32, vec=False)
-        ats_j = self._dev_scalar("f", float(autotune_strength), np.float32,
+        ps_j = self._dev_scalar("pitch_shift", float(pitch_shift), np.float32, vec=False)
+        ats_j = self._dev_scalar("autotune_strength", float(autotune_strength), np.float32,
                                  vec=False)
-        prot_j = self._dev_scalar("f", float(protect), np.float32, vec=False)
-        ir_j = self._dev_scalar("f", float(index_rate), np.float32, vec=False)
+        prot_j = self._dev_scalar("protect", float(protect), np.float32, vec=False)
+        ir_j = self._dev_scalar("index_rate", float(index_rate), np.float32, vec=False)
 
         import os as _os
 
@@ -532,7 +532,7 @@ class Pipeline:
                 out = self._fused[key](
                     self.synth_variables, self.hubert_variables, audio, f0,
                     sid_j, p_len_j, prot_j,
-                    self._dev_scalar("f", 0.0, np.float32, vec=False))
+                    self._dev_scalar("index_rate", 0.0, np.float32, vec=False))
         if _os.environ.get("RVC_TPU_ASYNC_FETCH", "1") == "1":
             # start the D2H stream as soon as the producing program
             # finishes (dispatch is async; a dependent early fetch

@@ -81,14 +81,61 @@ class FeatureExtractor:
         np.save(out["spec"], spec.astype(np.float32))
         return out
 
-    def process_all(self) -> int:
+    def _save(self, name: str, f0: np.ndarray, feats: np.ndarray,
+              spec: np.ndarray) -> None:
+        np.save(os.path.join(self.dirs["f0"], name + ".npy"), coarse_f0(f0))
+        np.save(os.path.join(self.dirs["f0_voiced"], name + ".npy"),
+                f0.astype(np.float32))
+        np.save(os.path.join(self.dirs["features"], name + ".npy"),
+                feats.astype(np.float32))
+        np.save(os.path.join(self.dirs["spec"], name + ".npy"),
+                spec.astype(np.float32))
+
+    def process_batch(self, names, a16s, gts) -> None:
+        """Extract one SAME-LENGTH group in a single device dispatch each
+        for HuBERT / RMVPE / spectrogram. The TPU-native equivalent of
+        the reference's multi-GPU thread fan-out
+        (`rvc/train/extract/extract.py:101-160`): identical-shape
+        segments (the slicer cuts uniform ~3.7 s chunks) batch into one
+        jitted call with bit-identical per-file results."""
+        a = jnp.asarray(np.stack(a16s))
+        feats = np.asarray(self._hubert_jit(self.hubert_variables, a))
+        if self.pitch.method == "rmvpe":
+            f0 = np.asarray(self.pitch._model.infer_from_audio(a, thred=0.03))
+            f0 = np.where((f0 >= 50.0) & (f0 <= 1100.0), f0, 0.0)
+        else:
+            f0 = np.stack([self.pitch.extract(x) for x in a16s])
+        spec = np.asarray(self._spec_jit(jnp.asarray(np.stack(gts))))
+        for i, name in enumerate(names):
+            self._save(name, f0[i], feats[i], spec[i])
+
+    def process_all(self, batch_size: int = 8) -> int:
         w16 = os.path.join(self.exp_dir, "sliced_audios_16k")
         gt = os.path.join(self.exp_dir, "sliced_audios")
+        files = [f for f in sorted(os.listdir(w16)) if f.endswith(".wav")]
+
+        # group by exact 16k length: same-shape segments batch losslessly
+        # (no padding, no attention-mask approximation)
+        groups: dict = {}
+        for f in files:
+            a16 = audio_utils.load_audio(os.path.join(w16, f), 16000)
+            groups.setdefault(len(a16), []).append((os.path.splitext(f)[0], a16, f))
+
         n = 0
-        for f in sorted(os.listdir(w16)):
-            if not f.endswith(".wav"):
-                continue
-            name = os.path.splitext(f)[0]
-            self.process_pair(name, os.path.join(w16, f), os.path.join(gt, f))
-            n += 1
+        for _, items in sorted(groups.items()):
+            for j in range(0, len(items), max(batch_size, 1)):
+                chunk = items[j : j + max(batch_size, 1)]
+                gts = []
+                for name, _, f in chunk:
+                    g, _sr = audio_utils.load_wav(os.path.join(gt, f))
+                    gts.append(audio_utils.to_mono(g))
+                if len(chunk) > 1 and len({len(g) for g in gts}) == 1:
+                    self.process_batch([c[0] for c in chunk],
+                                       [c[1] for c in chunk], gts)
+                    n += len(chunk)
+                else:
+                    for name, _, f in chunk:
+                        self.process_pair(name, os.path.join(w16, f),
+                                          os.path.join(gt, f))
+                        n += 1
         return n

@@ -59,11 +59,19 @@ class AudioPreprocessor:
         process_effects: bool = True,
         chunk_len: float = 3.0,
         overlap_len: float = 0.3,
+        noise_reduction: bool = False,
+        noise_reduction_strength: float = 0.7,
     ) -> int:
         """Returns the number of segments written."""
         audio = audio_utils.load_audio(path, self.sr)
         if process_effects:
             audio = audio_utils.highpass_filter(audio, self.sr, 48.0, 5)
+        if noise_reduction:
+            # reference gates this behind --noise_reduction
+            # (`rvc/train/preprocess/preprocess.py` noisereduce pass)
+            from rvc_tpu.utils.noise import reduce_noise
+
+            audio = reduce_noise(audio, self.sr, noise_reduction_strength)
         count = 0
         if cut_preprocess == "Skip":
             a = normalize_audio(audio)
@@ -106,17 +114,37 @@ class AudioPreprocessor:
         return count
 
     def process_directory(self, dataset_path: str, cut_preprocess: str = "Automatic",
-                          **kwargs) -> int:
+                          cpu_cores: int = 1, **kwargs) -> int:
         """Process every audio file; speaker id from `spk_id` subdirs if
-        present, else 0."""
-        total = 0
+        present, else 0. cpu_cores > 1 fans the file loop out over a
+        process pool (the reference's `cpu_cores` workers,
+        `rvc/train/preprocess/preprocess.py:271`) — slicing/filtering is
+        pure numpy/scipy, embarrassingly parallel per file."""
         files = []
         for root, _, names in os.walk(dataset_path):
             for n in sorted(names):
                 if os.path.splitext(n)[1].lower() in (".wav", ".flac", ".mp3", ".ogg"):
                     files.append(os.path.join(root, n))
-        for idx0, f in enumerate(sorted(files)):
+        files = sorted(files)
+
+        def sid_of(f):
             rel = os.path.relpath(os.path.dirname(f), dataset_path)
-            sid = int(rel) if rel.isdigit() else 0
-            total += self.process_file(f, sid, idx0, cut_preprocess, **kwargs)
-        return total
+            return int(rel) if rel.isdigit() else 0
+
+        jobs = [(f, sid_of(f), idx0, cut_preprocess, kwargs)
+                for idx0, f in enumerate(files)]
+        if cpu_cores <= 1 or len(jobs) <= 1:
+            return sum(self._run_job(j) for j in jobs)
+
+        import multiprocessing as mp
+
+        # fork: workers inherit the loaded modules; no jax is touched in
+        # the file loop so forking the initialized parent is safe
+        ctx = mp.get_context("fork")
+        with ctx.Pool(min(cpu_cores, len(jobs))) as pool:
+            counts = pool.map(self._run_job, jobs, chunksize=1)
+        return sum(counts)
+
+    def _run_job(self, job) -> int:
+        f, sid, idx0, cut_preprocess, kwargs = job
+        return self.process_file(f, sid, idx0, cut_preprocess, **kwargs)

@@ -170,6 +170,9 @@ class Realtime:
         self.block_16k = block_16k
         self._block_fns = None      # fused block programs are shape-bound
         self._pitchf_dev = None
+        # silent blocks roll the device pitch state lazily: count frames
+        # owed and apply the shift on the next speech block
+        self._pending_zero_frames = 0
 
     # ------------------------------------------------------------------
     def _update_pitch(self, pitch_shift: float, f0_autotune: bool,
@@ -247,11 +250,38 @@ class Realtime:
             self.vad is not None and not self.vad.is_speech(a16))
 
         spf_tgt = self.rvc.cfg.data.sample_rate // 100
+        if gated:
+            # silence short-circuit (reference `core.py:215-243`): no
+            # device dispatch at all. The staged pitch buffers roll with
+            # zero f0 now; the fused device pitch state rolls lazily on
+            # the next speech block (_pending_zero_frames), so SOLA/pitch
+            # continuity is preserved when speech resumes.
+            bf = self.block_16k // self.window_size
+            F = self.convert_feature_size
+            self.pitch_buffer[:-bf] = self.pitch_buffer[bf:]
+            self.pitch_buffer[-bf:] = 1  # coarse bin of f0=0
+            self.pitchf_buffer[:-bf] = self.pitchf_buffer[bf:]
+            self.pitchf_buffer[-bf:] = 0.0
+            self._pending_zero_frames = min(self._pending_zero_frames + bf, F)
+            n_out = self.return_length * (AUDIO_SAMPLE_RATE // 100)
+            return np.zeros(n_out, dtype=np.float32), vol
+
         if self._fused_block_ok(index_rate, f0_autotune):
             import jax.numpy as jnp
 
             use_index = index_rate > 0 and self.rvc.index is not None
             fn = self._get_block_program(use_index)
+            if self._pending_zero_frames and self._pitchf_dev is not None:
+                # apply the zero-roll owed by the silent blocks
+                p = self._pending_zero_frames
+                if p >= self.convert_feature_size:
+                    self._pitchf_dev = jnp.zeros_like(self._pitchf_dev)
+                else:
+                    st = np.asarray(self._pitchf_dev)
+                    st = np.concatenate(
+                        [st[:, p:], np.zeros((st.shape[0], p), st.dtype)], axis=1)
+                    self._pitchf_dev = jnp.asarray(st)
+            self._pending_zero_frames = 0
             pipe = self.rvc.pipeline
             sb, hb, rb = pipe._packed["bufs"]
             buf = self.convert_buffer
@@ -262,16 +292,17 @@ class Realtime:
                 jnp.asarray(buf[None].astype(np.float16)),
                 self._pitchf_dev,
                 pipe._dev_scalar("sid", self.sid, np.int32),
-                pipe._dev_scalar("f", float(protect), np.float32, vec=False),
-                pipe._dev_scalar("f", float(f0_up_key), np.float32, vec=False),
+                pipe._dev_scalar("protect", float(protect), np.float32, vec=False),
+                pipe._dev_scalar("pitch_shift", float(f0_up_key), np.float32, vec=False),
                 pipe._dev_scalar(
-                    "f", float(f0_autotune_strength if f0_autotune else 0.0),
+                    "autotune_strength",
+                    float(f0_autotune_strength if f0_autotune else 0.0),
                     np.float32, vec=False))
             if use_index:
                 idx = self.rvc.index
                 block, self._pitchf_dev = fn(
                     *args,
-                    pipe._dev_scalar("f", float(index_rate), np.float32,
+                    pipe._dev_scalar("index_rate", float(index_rate), np.float32,
                                      vec=False),
                     idx._dev(), nprobe=idx.nprobe)
             else:
@@ -299,9 +330,7 @@ class Realtime:
         if self.rvc.cfg.data.sample_rate != AUDIO_SAMPLE_RATE:
             out = audio_utils.resample(out, self.rvc.cfg.data.sample_rate,
                                        AUDIO_SAMPLE_RATE)
-        if gated:
-            out = np.zeros_like(out)
-        elif self.board is not None:
+        if self.board is not None:
             out = self.board(out, AUDIO_SAMPLE_RATE)
         return out.astype(np.float32), vol
 

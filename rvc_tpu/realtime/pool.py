@@ -119,14 +119,14 @@ class VoiceChangerPool:
             buf = np.pad(buf, ((0, 0), (0, self._block_pad)), mode="reflect")
         args = (rb, sb, hb, jnp.asarray(buf.astype(np.float16)),
                 self._pitchf_dev, jnp.asarray(self.sids),
-                pipe._dev_scalar("f", float(protect), np.float32, vec=False),
-                pipe._dev_scalar("f", float(pitch_shift), np.float32,
+                pipe._dev_scalar("protect", float(protect), np.float32, vec=False),
+                pipe._dev_scalar("pitch_shift", float(pitch_shift), np.float32,
                                  vec=False),
-                pipe._dev_scalar("f", 0.0, np.float32, vec=False))
+                pipe._dev_scalar("autotune_strength", 0.0, np.float32, vec=False))
         if use_index:
             idx = self.rvc.index
             out, self._pitchf_dev = fn(
-                *args, pipe._dev_scalar("f", float(index_rate), np.float32,
+                *args, pipe._dev_scalar("index_rate", float(index_rate), np.float32,
                                         vec=False),
                 idx._dev(), nprobe=idx.nprobe)
         else:

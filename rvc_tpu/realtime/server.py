@@ -112,3 +112,98 @@ class RealtimeSocketServer:
         t = threading.Thread(target=lambda: asyncio.run(self.serve()), daemon=True)
         t.start()
         return t
+
+
+class RealtimeWebSocketServer:
+    """WebSocket endpoint speaking the reference client protocol
+    (`rvc_mlx/realtime/client.py:16-96`): the client first sends a JSON
+    text frame of session params, then binary float32 blocks @48 kHz;
+    the server answers each block with a `{"type": "latency"}` text
+    frame followed by the converted float32 block. Built on the
+    `websockets` package (no FastAPI needed); existing ws-audio clients
+    connect unchanged.
+    """
+
+    def __init__(self, voice_changer=None, rvc=None, host: str = "127.0.0.1",
+                 port: int = 6006):
+        if voice_changer is None and rvc is None:
+            raise ValueError("pass a VoiceChanger or an RVC instance")
+        self.vc = voice_changer
+        self.rvc = rvc
+        self.host = host
+        self.port = port
+        self._started = threading.Event()
+        self._loop = None
+
+    def _ensure_vc(self, params: dict):
+        if self.vc is not None:
+            return self.vc
+        from rvc_tpu.realtime.core import VoiceChanger
+
+        self.vc = VoiceChanger(
+            self.rvc,
+            read_chunk_size=int(params.get("chunk_size", 192)),
+            cross_fade_overlap_size=float(
+                params.get("cross_fade_overlap_size", 0.1)),
+            extra_convert_size=float(params.get("extra_convert_size", 0.5)),
+            f0_method=params.get("f0_method", "rmvpe"),
+            silent_threshold=int(params.get("silent_threshold", 0)),
+            vad_enabled=bool(params.get("vad_enabled", False)),
+            sid=int(params.get("sid", 0)),
+            post_process=bool(params.get("post_process", False)),
+            **params.get("kwargs", {}),
+        )
+        return self.vc
+
+    async def _handle(self, ws):
+        import json
+
+        try:
+            params = json.loads(await ws.recv())
+        except Exception:
+            await ws.close()
+            return
+        vc = self._ensure_vc(params)
+        block_frame = int(params.get("chunk_size", 192)) * 128
+        gain = float(params.get("input_audio_gain", 100.0)) / 100.0
+        convert_kwargs = dict(
+            f0_up_key=float(params.get("pitch", 0.0)),
+            index_rate=float(params.get("index_rate", 0.0)),
+            protect=float(params.get("protect", 0.5)),
+            f0_autotune=bool(params.get("autotune", False)),
+            f0_autotune_strength=float(params.get("autotune_strength", 1.0)),
+        )
+        try:
+            async for msg in ws:
+                if not isinstance(msg, (bytes, bytearray)):
+                    continue  # ignore mid-stream text frames
+                arr = np.frombuffer(msg, dtype=np.float32)
+                if arr.size < block_frame:
+                    arr = np.pad(arr, (0, block_frame - arr.size))
+                else:
+                    arr = arr[:block_frame]
+                out, _vol, perf = vc.on_request(arr.astype(np.float32) * gain,
+                                                **convert_kwargs)
+                await ws.send(json.dumps({"type": "latency",
+                                          "value": perf[1]}))
+                await ws.send(out.astype("<f4").tobytes())
+        except Exception:
+            pass
+
+    async def serve(self):
+        import websockets
+
+        async with websockets.serve(self._handle, self.host, self.port):
+            self._started.set()
+            await asyncio.Future()
+
+    def serve_in_thread(self) -> threading.Thread:
+        def run():
+            self._loop = asyncio.new_event_loop()
+            asyncio.set_event_loop(self._loop)
+            self._loop.run_until_complete(self.serve())
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        self._started.wait(timeout=30)
+        return t

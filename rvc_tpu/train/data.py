@@ -81,6 +81,7 @@ class DataLoader:
         num_hosts: int = 1,
         host_id: int = 0,
         drop_last: bool = True,
+        shuffle: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -88,6 +89,7 @@ class DataLoader:
         self.num_hosts = num_hosts
         self.host_id = host_id
         self.drop_last = drop_last
+        self.shuffle = shuffle  # False = deterministic batch order
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -106,13 +108,16 @@ class DataLoader:
             buckets.setdefault(_bucket_of(n), []).append(i)
         batches = []
         for b, idxs in sorted(buckets.items()):
-            rng.shuffle(idxs)
+            if self.shuffle:
+                rng.shuffle(idxs)
             for j in range(0, len(idxs), self.batch_size):
                 group = idxs[j : j + self.batch_size]
                 if len(group) == self.batch_size or not self.drop_last:
                     batches.append(group)
-        rng.shuffle(batches)
-        # host shard
+        if self.shuffle:
+            rng.shuffle(batches)
+        # host shard: consecutive batches form one global step across
+        # hosts (host h supplies global rows [h*B, (h+1)*B) of the step)
         return batches[self.host_id :: self.num_hosts]
 
     def __iter__(self) -> Iterator[Batch]:

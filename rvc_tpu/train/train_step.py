@@ -63,6 +63,14 @@ def sanitize_grads(grads, clip_value: float = 1e3):
     )
 
 
+def build_discriminator(cfg: RVCConfig) -> MultiPeriodDiscriminator:
+    """Vocoder-conditioned discriminator selection: RefineGAN training
+    uses the v3 discriminator (MPD + multi-resolution DiscriminatorR
+    bank), everything else the v2 MPD (`rvc/train/train.py:71-75`)."""
+    return MultiPeriodDiscriminator(
+        use_multi_resolution=(cfg.model.vocoder == "RefineGAN"))
+
+
 def make_optimizers(cfg: RVCConfig, steps_per_epoch: int = 100):
     lr = optax.exponential_decay(
         cfg.train.learning_rate, transition_steps=steps_per_epoch,
@@ -96,7 +104,7 @@ def create_train_state(
     from rvc_tpu.models.synthesizer import build_synthesizer
 
     net_g = synthesizer or build_synthesizer(cfg)
-    net_d = discriminator or MultiPeriodDiscriminator()
+    net_d = discriminator or build_discriminator(cfg)
 
     T = max(cfg.segment_frames + 4, 40)
     ks = jax.random.split(rng, 5)
@@ -145,6 +153,11 @@ def make_train_step(
             wave, data.filter_length, data.n_mel_channels, data.sample_rate,
             data.hop_length, data.win_length, data.mel_fmin, data.mel_fmax)
 
+    # vocoder-conditioned mel loss: RefineGAN trains against the
+    # multi-scale log-mel L1 at c_mel/3, others single-scale log-mel L1
+    # at c_mel (`rvc/train/train.py:465-469,738,760`)
+    multiscale_mel = cfg.model.vocoder == "RefineGAN"
+
     def g_loss_fn(g_params, d_params, batch: Batch, rng):
         out = net_g.apply(
             {"params": g_params}, batch.phone, batch.phone_lengths,
@@ -154,9 +167,14 @@ def make_train_step(
         wave_real = slice_segments(
             batch.wave, out.ids_slice * hop, seg_samples)[:, :, None]
 
-        mel_r = mel_of(wave_real[:, :, 0])
-        mel_g = mel_of(y_hat[:, :, 0])
-        loss_mel = L.mel_l1_loss(mel_r, mel_g) * cfg.train.c_mel
+        if multiscale_mel:
+            loss_mel = L.multi_scale_mel_loss(
+                wave_real[:, :, 0], y_hat[:, :, 0],
+                data.sample_rate) * cfg.train.c_mel / 3.0
+        else:
+            mel_r = mel_of(wave_real[:, :, 0])
+            mel_g = mel_of(y_hat[:, :, 0])
+            loss_mel = L.mel_l1_loss(mel_r, mel_g) * cfg.train.c_mel
         loss_kl = L.kl_loss(out.z_p, out.logs_q, out.m_p, out.logs_p,
                             out.y_mask) * cfg.train.c_kl
 
@@ -201,16 +219,21 @@ def make_train_step(
                 d_params, wave_real, y_hat)
             d_grads = sanitize_grads(d_grads)
 
-            # d_loss_threshold gating (`trainer.py:453`): skip the D update
-            # while its loss is under threshold (0 disables the gate)
-            gate = jnp.where(
-                cfg.train.d_loss_threshold > 0,
-                (d_loss >= cfg.train.d_loss_threshold).astype(jnp.float32),
-                1.0,
-            )
-            d_grads = jax.tree.map(lambda g: g * gate, d_grads)
-            d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
-            d_params = optax.apply_updates(d_params, d_updates)
+            d_updates, d_opt_new = d_tx.update(d_grads, d_opt, d_params)
+            d_params_new = optax.apply_updates(d_params, d_updates)
+            if cfg.train.d_loss_threshold > 0:
+                # d_loss_threshold gating (`rvc_mlx/train/trainer.py:453`):
+                # while the D loss is under threshold the update is SKIPPED
+                # entirely — params, AdamW moments, weight decay, and the
+                # step count all stay untouched, exactly like the
+                # reference's `continue`
+                apply = d_loss >= cfg.train.d_loss_threshold
+                sel = lambda new, old: jax.tree.map(
+                    lambda n, o: jnp.where(apply, n, o), new, old)
+                d_params = sel(d_params_new, d_params)
+                d_opt = sel(d_opt_new, d_opt)
+            else:
+                d_params, d_opt = d_params_new, d_opt_new
 
         metrics = dict(
             loss_g_total=g_total, loss_d=d_loss,

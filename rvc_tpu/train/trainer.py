@@ -42,6 +42,9 @@ class RVCTrainer:
         save_every_weights: bool = False,
         cache_data_on_device: bool = False,
         model_name: str = "model",
+        tracker=None,
+        use_aim: bool = False,
+        log_every_steps: int = 5,
     ):
         self.cfg = cfg
         self.train_loader = train_loader
@@ -49,6 +52,10 @@ class RVCTrainer:
         self.checkpoint_dir = checkpoint_dir
         os.makedirs(checkpoint_dir, exist_ok=True)
         self.mesh = mesh
+        self._state_sharded = False
+        # rank-0-only file writes (the torch trainer's rank==0 guards,
+        # `rvc/train/train.py:838`); collectives still run on every host
+        self._is_main = jax.process_index() == 0
 
         steps_per_epoch = max(len(train_loader), 1)
         self.state, self.net_g, self.net_d = create_train_state(
@@ -72,6 +79,18 @@ class RVCTrainer:
         self.cache_data_on_device = cache_data_on_device
         self.model_name = model_name
         self._device_batches = None
+        # observability (reference `rvc/train/train.py:790-900`): scalar
+        # curves as rolling-window means, mel images + eval audio at save
+        # epochs; backend = aim > tensorboard > JSONL (tracker.py)
+        from rvc_tpu.monitoring.tracker import (
+            NullTracker, RollingMean, create_tracker)
+
+        self.tracker = tracker or (
+            create_tracker(checkpoint_dir, model_name, use_aim=use_aim)
+            if self._is_main else NullTracker())
+        self.tracker.log_params(config_to_dict(cfg))
+        self._rolling = RollingMean(50)
+        self.log_every_steps = max(log_every_steps, 1)
 
     # ------------------------------------------------------------------
     def _get_step_fn(self, adversarial: bool):
@@ -91,21 +110,36 @@ class RVCTrainer:
 
     def render_eval_audio(self, name: Optional[str] = None) -> Optional[str]:
         """Render the eval batch through the current generator to a wav
-        (the torch trainer's per-save reference inference,
-        `rvc/train/train.py:885-900`)."""
+        and log it (audio + mel-spectrogram image) to the tracker — the
+        torch trainer's per-save reference inference + tensorboard
+        artifacts (`rvc/train/train.py:838-900`)."""
         if self.eval_batch is None:
             return None
-        import jax.numpy as jnp
-
         from rvc_tpu.utils.audio import save_wav
 
         b = self.eval_batch
+        # gather params (collective on all hosts), render on host 0 only
+        params = self._host_tree(self.state.g_params)
+        if not self._is_main:
+            return None
         wave, _ = self.net_g.apply(
-            {"params": self.state.g_params}, b.phone, b.phone_lengths,
+            {"params": params}, b.phone, b.phone_lengths,
             b.pitch, b.pitchf, b.sid, method=self.net_g.infer)
+        audio = np.asarray(wave[0, :, 0])
+        sr = self.cfg.data.sample_rate
         path = os.path.join(self.checkpoint_dir,
                             f"{name or f'epoch_{self.epoch:04d}'}_eval.wav")
-        save_wav(path, np.asarray(wave[0, :, 0]), self.cfg.data.sample_rate)
+        save_wav(path, audio, sr)
+        step = int(self.state.step)
+        self.tracker.log_audio("eval/audio", audio, sr, step)
+        from rvc_tpu.ops.stft import mel_spectrogram
+
+        d = self.cfg.data
+        mel = np.asarray(mel_spectrogram(
+            jax.numpy.asarray(audio, dtype=jax.numpy.float32)[None],
+            d.filter_length, d.n_mel_channels, sr, d.hop_length,
+            d.win_length, d.mel_fmin, d.mel_fmax))[0]
+        self.tracker.log_spectrogram("eval/mel", mel, step)
         return path
 
     # ------------------------------------------------------------------
@@ -132,13 +166,27 @@ class RVCTrainer:
             g_params = jax.tree.map(lambda x: x, self.state.g_params)  # copy
             g_params = merge(jax.device_get(g_params), tree)
             self.state = self.state._replace(g_params=g_params)
+            self._state_sharded = False
         if d_path and os.path.exists(d_path):
             if d_path.endswith(".safetensors"):
                 tree = W.load_params(d_path)
                 d_params = merge(jax.device_get(self.state.d_params), tree)
                 self.state = self.state._replace(d_params=d_params)
+                self._state_sharded = False
 
     # ------------------------------------------------------------------
+    def _host_tree(self, tree):
+        """Fetch a (possibly cross-host-sharded) tree to host memory.
+        Multi-host arrays are resharded to fully-replicated first — a
+        collective, so EVERY host must call this even though only host 0
+        writes the result."""
+        if self.mesh is not None and jax.process_count() > 1:
+            from rvc_tpu.parallel.mesh import replicate
+
+            tree = jax.jit(lambda t: t,
+                           out_shardings=replicate(self.mesh))(tree)
+        return jax.device_get(tree)
+
     def save_checkpoint(self, name: Optional[str] = None,
                         full_state: bool = True) -> str:
         """Save G/D params as safetensors; with full_state also the
@@ -147,14 +195,12 @@ class RVCTrainer:
         name = name or f"epoch_{self.epoch:04d}"
         gp = os.path.join(self.checkpoint_dir, f"{name}_G.safetensors")
         dp = os.path.join(self.checkpoint_dir, f"{name}_D.safetensors")
-        W.save_params(jax.device_get(self.state.g_params), gp)
-        W.save_params(jax.device_get(self.state.d_params), dp)
-        meta = dict(epoch=self.epoch, step=int(self.state.step),
-                    best_loss=self.best_loss,
-                    config=config_to_dict(self.cfg))
-        with open(os.path.join(self.checkpoint_dir, f"{name}_state.json"), "w") as f:
-            json.dump(meta, f, indent=2)
+        g_host = self._host_tree(self.state.g_params)
+        d_host = self._host_tree(self.state.d_params)
         if full_state:
+            # orbax coordinates across processes internally — EVERY host
+            # must enter the save (a main-only call deadlocks its
+            # multihost barrier); it writes one checkpoint regardless
             try:
                 import orbax.checkpoint as ocp
 
@@ -166,6 +212,15 @@ class RVCTrainer:
                         force=True)
             except Exception as e:  # params-only checkpoints still valid
                 print(f"optimizer-state save skipped: {e}")
+        if not self._is_main:
+            return gp
+        W.save_params(g_host, gp)
+        W.save_params(d_host, dp)
+        meta = dict(epoch=self.epoch, step=int(self.state.step),
+                    best_loss=self.best_loss,
+                    config=config_to_dict(self.cfg))
+        with open(os.path.join(self.checkpoint_dir, f"{name}_state.json"), "w") as f:
+            json.dump(meta, f, indent=2)
         return gp
 
     def resume(self, name: str) -> None:
@@ -195,10 +250,21 @@ class RVCTrainer:
                 print(f"optimizer-state restore skipped: {e}")
 
     def export_inference_model(self, path: str) -> str:
-        """Final inference weights: enc_q stripped, config sidecar
-        (`rvc/train/process/extract_model.py:27-100`)."""
-        params = jax.device_get(self.state.g_params)
+        """Final inference weights, enc_q stripped. A `.pth` path writes
+        the reference's ecosystem checkpoint (fp16 torch state dict +
+        18-element config list + metadata,
+        `rvc/train/process/extract_model.py:27-100`) so models trained
+        here round-trip into upstream RVC tooling; any other extension
+        writes native safetensors + config sidecar."""
+        params = self._host_tree(self.state.g_params)
+        if not self._is_main:
+            return path
         params = {k: v for k, v in params.items() if k != "enc_q"}
+        if path.endswith(".pth"):
+            return W.export_pth(
+                params, self.cfg, path, name=self.model_name,
+                epoch=self.epoch, step=int(self.state.step),
+                pitch_guidance=self.cfg.model.use_f0)
         W.save_params(params, path, config=config_to_dict(self.cfg))
         return path
 
@@ -220,16 +286,38 @@ class RVCTrainer:
         for i in order:
             yield self._device_batches[i]
 
+    def _ensure_sharded(self) -> None:
+        """Lay the train state out over the mesh (params sharded by
+        `param_shardings`, optimizer replicated) before the first sharded
+        step; re-runs after load_pretrained/resume replaced arrays."""
+        if self.mesh is None or self._state_sharded:
+            return
+        from rvc_tpu.parallel.train import shard_state
+
+        self.state = shard_state(self.state, self.mesh)
+        self._state_sharded = True
+
     def train_epoch(self, adversarial: bool = True) -> dict:
         step_fn = self._get_step_fn(adversarial)
+        self._ensure_sharded()
+        if self.mesh is not None:
+            from rvc_tpu.parallel.train import shard_batch
         agg = {}
         n = 0
         for batch in self._batches():
             self._rng, sub = jax.random.split(self._rng)
+            if self.mesh is not None:
+                batch = shard_batch(batch, self.mesh)
             self.state, metrics = step_fn(self.state, batch, sub)
             n += 1
-            for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
+            host = {k: float(v) for k, v in metrics.items()}
+            for k, v in host.items():
+                agg[k] = agg.get(k, 0.0) + v
+            # rolling-50 scalar means, the torch trainer's tensorboard
+            # cadence (`rvc/train/train.py:790-830`)
+            smoothed = self._rolling.update(host)
+            if n % self.log_every_steps == 0 and self._is_main:
+                self.tracker.log_metrics(smoothed, int(self.state.step))
         return {k: v / max(n, 1) for k, v in agg.items()} | {"batches": n}
 
     def train(self, epochs: int, save_every: int = 10,
@@ -243,8 +331,13 @@ class RVCTrainer:
             metrics |= {"epoch": self.epoch, "adversarial": adversarial,
                         "seconds": round(time.time() - t0, 2)}
             history.append(metrics)
-            with open(self._log_path, "a") as f:
-                f.write(json.dumps(metrics) + "\n")
+            if self._is_main:
+                with open(self._log_path, "a") as f:
+                    f.write(json.dumps(metrics) + "\n")
+                self.tracker.log_metrics(
+                    {k: v for k, v in metrics.items()
+                     if isinstance(v, (int, float)) and np.isfinite(v)},
+                    int(self.state.step), context={"subset": "epoch"})
 
             g_total = metrics.get("loss_g_total", float("inf"))
             if g_total < self.best_loss:
@@ -262,5 +355,6 @@ class RVCTrainer:
                         f"{self.model_name}_{self.epoch}e.safetensors"))
                 self.render_eval_audio()
         self.save_checkpoint("last")
+        self.tracker.close()
         return {"epochs_run": len(history), "history": history,
                 "best_loss": self.best_loss}

@@ -163,3 +163,43 @@ def peak_normalize(audio: np.ndarray, peak: float = 0.99) -> np.ndarray:
     if m > 1:
         return (audio / m).astype(np.float32)
     return audio.astype(np.float32)
+
+
+def encode_audio(audio: np.ndarray, sr: int, base_path: str,
+                 export_format: str) -> str:
+    """Encode to a non-WAV container (MP3/FLAC/OGG/M4A).
+
+    Tries soundfile, then the ffmpeg binary (the reference's converter,
+    `rvc/infer/infer.py:320-338`). Raises RuntimeError when neither is
+    available — the CLI must not claim one format and write another.
+    """
+    fmt = export_format.upper()
+    path = base_path + "." + fmt.lower()
+    try:
+        import soundfile as sf
+
+        sf.write(path, audio, sr, format=fmt)
+        return path
+    except ImportError:
+        pass
+    except Exception as e:
+        raise RuntimeError(f"soundfile failed to encode {fmt}: {e}") from e
+    import shutil
+    import subprocess
+    import tempfile
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg:
+        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as t:
+            tmp = t.name
+        try:
+            save_wav(tmp, audio, sr)
+            subprocess.run([ffmpeg, "-y", "-loglevel", "error", "-i", tmp,
+                            path], check=True)
+            return path
+        finally:
+            os.unlink(tmp)
+    raise RuntimeError(
+        f"cannot export {fmt}: neither the soundfile package nor an "
+        f"ffmpeg binary is available in this environment. Install one of "
+        f"them, or use --export_format WAV.")

@@ -439,10 +439,235 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
 
     cpt = torch.load(path, map_location="cpu", weights_only=True)
     meta = {}
-    if isinstance(cpt, dict) and "model" in cpt:
-        meta = {k: v for k, v in cpt.items() if k != "model"}
-        cpt = cpt["model"]
+    # training checkpoints nest under "model" (`rvc/train/utils.py:34`),
+    # inference exports under "weight" (`extract_model.py:59`)
+    for nest in ("model", "weight"):
+        if isinstance(cpt, dict) and nest in cpt and isinstance(cpt[nest], dict):
+            meta = {k: v for k, v in cpt.items() if k != nest}
+            cpt = cpt[nest]
+            break
     out = {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
            for k, v in cpt.items()}
     out["__meta__"] = meta
     return out
+
+
+# ---------------------------------------------------------------------------
+# .pth EXPORT — our flax tree -> the reference's ecosystem checkpoint
+# (`rvc/train/process/extract_model.py:27-100`): fp16 "weight" state dict
+# in torch naming/layout (weight-norm re-split into parametrizations),
+# 18-element config list, metadata + model hash. Models trained here
+# round-trip into upstream RVC tooling.
+
+def _inv_conv1d(w):  # ours (K, Cin//g, Cout) -> torch (Cout, Cin//g, K)
+    return np.transpose(w, (2, 1, 0))
+
+
+def _inv_convtr1d(w):  # ours (K, Cin, Cout) -> torch (Cin, Cout, K)
+    return np.transpose(w, (1, 2, 0))
+
+
+# (our-path regex, torch-key template, inverse transform, weight_norm)
+_INV_SYNTH_RULES = [
+    (r"^enc_p/emb_phone/(weight|bias)$", r"enc_p.emb_phone.\1", None, False),
+    (r"^enc_p/emb_pitch/weight$", r"enc_p.emb_pitch.weight", None, False),
+    (r"^enc_p/encoder/attn_layers_(\d+)/emb_rel_([kv])$",
+     r"enc_p.encoder.attn_layers.\1.emb_rel_\2", None, False),
+    (r"^enc_p/encoder/attn_layers_(\d+)/conv_([qkvo])/weight$",
+     r"enc_p.encoder.attn_layers.\1.conv_\2.weight", _inv_conv1d, False),
+    (r"^enc_p/encoder/attn_layers_(\d+)/conv_([qkvo])/bias$",
+     r"enc_p.encoder.attn_layers.\1.conv_\2.bias", None, False),
+    (r"^enc_p/encoder/norm_layers_([12])_(\d+)/weight$",
+     r"enc_p.encoder.norm_layers_\1.\2.gamma", None, False),
+    (r"^enc_p/encoder/norm_layers_([12])_(\d+)/bias$",
+     r"enc_p.encoder.norm_layers_\1.\2.beta", None, False),
+    (r"^enc_p/encoder/ffn_layers_(\d+)/conv_([12])/weight$",
+     r"enc_p.encoder.ffn_layers.\1.conv_\2.weight", _inv_conv1d, False),
+    (r"^enc_p/encoder/ffn_layers_(\d+)/conv_([12])/bias$",
+     r"enc_p.encoder.ffn_layers.\1.conv_\2.bias", None, False),
+    (r"^enc_p/proj/weight$", r"enc_p.proj.weight", _inv_conv1d, False),
+    (r"^enc_p/proj/bias$", r"enc_p.proj.bias", None, False),
+    # wavenets (enc_q is stripped before export; flow remains)
+    (r"^(enc_q|flow/flows_\d+)/pre/weight$", None, _inv_conv1d, False),
+    (r"^(enc_q|flow/flows_\d+)/pre/bias$", None, None, False),
+    (r"^(enc_q|flow/flows_\d+)/(proj|post)/weight$", None, _inv_conv1d, False),
+    (r"^(enc_q|flow/flows_\d+)/(proj|post)/bias$", None, None, False),
+    (r"^(enc_q|flow/flows_\d+)/enc/(in_layers|res_skip_layers)_(\d+)/weight$",
+     None, _inv_conv1d, True),
+    (r"^(enc_q|flow/flows_\d+)/enc/(in_layers|res_skip_layers)_(\d+)/bias$",
+     None, None, False),
+    (r"^(enc_q|flow/flows_\d+)/enc/cond_layer/weight$", None, _inv_conv1d, True),
+    (r"^(enc_q|flow/flows_\d+)/enc/cond_layer/bias$", None, None, False),
+    # NSF-HiFiGAN decoder (weight-norm set per
+    # `rvc/lib/algorithm/generators/hifigan_nsf.py`)
+    (r"^dec/conv_(pre|post)/weight$", r"dec.conv_\1.weight", _inv_conv1d, False),
+    (r"^dec/conv_(pre|post)/bias$", r"dec.conv_\1.bias", None, False),
+    (r"^dec/cond/weight$", r"dec.cond.weight", _inv_conv1d, False),
+    (r"^dec/cond/bias$", r"dec.cond.bias", None, False),
+    (r"^dec/ups_(\d+)/weight$", r"dec.ups.\1.weight", _inv_convtr1d, True),
+    (r"^dec/ups_(\d+)/bias$", r"dec.ups.\1.bias", None, False),
+    (r"^dec/noise_convs_(\d+)/weight$", r"dec.noise_convs.\1.weight",
+     _inv_conv1d, False),
+    (r"^dec/noise_convs_(\d+)/bias$", r"dec.noise_convs.\1.bias", None, False),
+    (r"^dec/resblocks_(\d+)/convs([12])_(\d+)/weight$",
+     r"dec.resblocks.\1.convs\2.\3.weight", _inv_conv1d, True),
+    (r"^dec/resblocks_(\d+)/convs([12])_(\d+)/bias$",
+     r"dec.resblocks.\1.convs\2.\3.bias", None, False),
+    (r"^dec/m_source/l_linear/(weight|bias)$", r"dec.m_source.l_linear.\1",
+     None, False),
+    # MRF HiFi-GAN decoder
+    (r"^dec/upsamples_(\d+)/weight$", r"dec.upsamples.\1.weight",
+     _inv_convtr1d, True),
+    (r"^dec/upsamples_(\d+)/bias$", r"dec.upsamples.\1.bias", None, False),
+    (r"^dec/mrfs_(\d+)_(\d+)/layers_(\d+)/conv([12])/weight$",
+     r"dec.mrfs.\1.\2.layers.\3.conv\4.weight", _inv_conv1d, True),
+    (r"^dec/mrfs_(\d+)_(\d+)/layers_(\d+)/conv([12])/bias$",
+     r"dec.mrfs.\1.\2.layers.\3.conv\4.bias", None, False),
+    # RefineGAN decoder
+    (r"^dec/(pre_conv|mel_conv)/weight$", r"dec.\1.weight", _inv_conv1d, True),
+    (r"^dec/(pre_conv|mel_conv)/bias$", r"dec.\1.bias", None, False),
+    (r"^dec/downsample_blocks_(\d+)/weight$", r"dec.downsample_blocks.\1.weight",
+     _inv_conv1d, True),
+    (r"^dec/downsample_blocks_(\d+)/bias$", r"dec.downsample_blocks.\1.bias",
+     None, False),
+    (r"^dec/upsample_conv_blocks_(\d+)/input_conv/weight$",
+     r"dec.upsample_conv_blocks.\1.input_conv.weight", _inv_conv1d, True),
+    (r"^dec/upsample_conv_blocks_(\d+)/input_conv/bias$",
+     r"dec.upsample_conv_blocks.\1.input_conv.bias", None, False),
+    (r"^dec/upsample_conv_blocks_(\d+)/adain([12])_(\d+)/weight$",
+     r"dec.upsample_conv_blocks.\1.blocks.\3.\g<2>000", None, False),  # fixed below
+    (r"^dec/upsample_conv_blocks_(\d+)/res_(\d+)/convs([12])_(\d+)/weight$",
+     r"dec.upsample_conv_blocks.\1.blocks.\2.1.convs\3.\4.weight",
+     _inv_conv1d, True),
+    (r"^dec/upsample_conv_blocks_(\d+)/res_(\d+)/convs([12])_(\d+)/bias$",
+     r"dec.upsample_conv_blocks.\1.blocks.\2.1.convs\3.\4.bias", None, False),
+    (r"^dec/m_source_merge/weight$", r"dec.m_source.merge.0.weight", None, False),
+    (r"^emb_g/weight$", r"emb_g.weight", None, False),
+]
+
+
+def _wavenet_torch_key(path: str) -> str:
+    """Mechanical inverse of the wavenet path derivation in
+    `convert_synthesizer_state_dict` (flows_N -> flows.{2N}, layer_N ->
+    layer.N)."""
+    p = re.sub(r"^flow/flows_(\d+)/",
+               lambda m: f"flow.flows.{int(m.group(1)) * 2}.", path)
+    p = re.sub(r"/(in_layers|res_skip_layers)_(\d+)/", r".\1.\2.", p)
+    return p.replace("/", ".")
+
+
+def synthesizer_params_to_torch_state_dict(params: Mapping) -> Dict[str, np.ndarray]:
+    """Our flax param tree -> fused-layout torch state dict with the
+    reference's exact key set (weight-norm re-split as
+    `parametrizations.weight.original0/1`, the modern torch naming real
+    reference checkpoints carry)."""
+    flat = flatten_tree(params)
+    out: Dict[str, np.ndarray] = {}
+    unmapped = []
+    for path, v in flat.items():
+        v = np.asarray(v, dtype=np.float32)
+        hit = False
+        for pat, tmpl, inv_tf, weight_norm in _INV_SYNTH_RULES:
+            m = re.match(pat, path)
+            if not m:
+                continue
+            hit = True
+            if tmpl is not None:
+                key = m.expand(tmpl)
+            else:
+                key = _wavenet_torch_key(path)
+            # AdaIN rule carries a placeholder template; fix it up
+            am = re.match(
+                r"^dec/upsample_conv_blocks_(\d+)/adain([12])_(\d+)/weight$",
+                path)
+            if am:
+                idx = 0 if am.group(2) == "1" else 2
+                key = (f"dec.upsample_conv_blocks.{am.group(1)}.blocks."
+                       f"{am.group(3)}.{idx}.weight")
+            w = inv_tf(v) if inv_tf is not None else v
+            if weight_norm:
+                base = key[: -len(".weight")]
+                axes = tuple(range(1, w.ndim))
+                g = np.sqrt(np.sum(w * w, axis=axes, keepdims=True))
+                out[f"{base}.parametrizations.weight.original0"] = g
+                out[f"{base}.parametrizations.weight.original1"] = w
+            else:
+                out[key] = w
+            break
+        if not hit:
+            unmapped.append(path)
+    if unmapped:
+        raise ValueError(f"no torch mapping for params: {unmapped[:8]}"
+                         + ("..." if len(unmapped) > 8 else ""))
+    return out
+
+
+def export_pth(
+    params: Mapping,
+    cfg,
+    path: str,
+    *,
+    name: str = "model",
+    epoch: int = 0,
+    step: int = 0,
+    version: str = "v2",
+    pitch_guidance: bool = True,
+    overtrain_info=None,
+    author=None,
+    embedder_model: str = "contentvec",
+    dataset_length=None,
+) -> str:
+    """Write the reference-format inference .pth
+    (`rvc/train/process/extract_model.py:27-100`): enc_q stripped, fp16
+    weights, 18-element config list, metadata, sha256 model hash."""
+    import datetime
+    import hashlib
+
+    import torch
+
+    params = {k: v for k, v in params.items() if k != "enc_q"}
+    sd = synthesizer_params_to_torch_state_dict(params)
+    m, d = cfg.model, cfg.data
+    config = [
+        d.filter_length // 2 + 1,
+        32,
+        m.inter_channels,
+        m.hidden_channels,
+        m.filter_channels,
+        m.n_heads,
+        m.n_layers,
+        m.kernel_size,
+        m.p_dropout,
+        str(m.resblock),
+        list(m.resblock_kernel_sizes),
+        [list(x) for x in m.resblock_dilation_sizes],
+        list(m.upsample_rates),
+        m.upsample_initial_channel,
+        list(m.upsample_kernel_sizes),
+        m.spk_embed_dim,
+        m.gin_channels,
+        d.sample_rate,
+    ]
+    opt = {
+        "weight": {k: torch.from_numpy(np.ascontiguousarray(v)).half()
+                   for k, v in sd.items()},
+        "config": config,
+        "epoch": epoch,
+        "step": step,
+        "sr": d.sample_rate,
+        "f0": int(pitch_guidance),
+        "version": version,
+        "creation_date": datetime.datetime.now().isoformat(),
+        "overtrain_info": overtrain_info,
+        "dataset_length": dataset_length,
+        "model_name": name,
+        "author": author,
+        "embedder_model": embedder_model,
+        "speakers_id": m.spk_embed_dim,
+        "vocoder": m.vocoder,
+    }
+    hash_input = f"{name}-{epoch}-{step}-{d.sample_rate}-{version}-{config}"
+    opt["model_hash"] = hashlib.sha256(hash_input.encode()).hexdigest()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    torch.save(opt, path)
+    return path

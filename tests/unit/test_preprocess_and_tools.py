@@ -63,6 +63,111 @@ def test_preprocessor_automatic(tmp_path):
     assert len(gt) == n and len(w16) == n
 
 
+def test_preprocessor_parallel_matches_serial(tmp_path):
+    """cpu_cores workers produce the exact same segment files as the
+    serial loop (reference `preprocess.py:271` fan-out)."""
+    from rvc_tpu.utils.audio import load_wav, save_wav
+
+    sr = 32000
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(6):
+        audio = _speechish(sr, dur=4.0) * (0.5 + 0.1 * i)
+        audio += 0.002 * rng.standard_normal(len(audio)).astype(np.float32)
+        save_wav(str(data_dir / f"f{i}.wav"), audio, sr)
+
+    n1 = AudioPreprocessor(str(tmp_path / "serial"), sr).process_directory(
+        str(data_dir), "Simple", cpu_cores=1, chunk_len=1.0)
+    n2 = AudioPreprocessor(str(tmp_path / "par"), sr).process_directory(
+        str(data_dir), "Simple", cpu_cores=4, chunk_len=1.0)
+    assert n1 == n2 >= 6
+    for sub in ("sliced_audios", "sliced_audios_16k"):
+        a = sorted(os.listdir(tmp_path / "serial" / sub))
+        b = sorted(os.listdir(tmp_path / "par" / sub))
+        assert a == b
+        for f in a:
+            wa, _ = load_wav(str(tmp_path / "serial" / sub / f))
+            wb, _ = load_wav(str(tmp_path / "par" / sub / f))
+            np.testing.assert_array_equal(wa, wb)
+
+
+def test_preprocessor_noise_reduction_flag(tmp_path):
+    from rvc_tpu.utils.audio import save_wav
+
+    sr = 32000
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    rng = np.random.default_rng(0)
+    noisy = (_speechish(sr, dur=4.0)
+             + 0.05 * rng.standard_normal(4 * sr).astype(np.float32))
+    save_wav(str(data_dir / "n.wav"), noisy, sr)
+    n = AudioPreprocessor(str(tmp_path / "exp"), sr).process_directory(
+        str(data_dir), "Skip", noise_reduction=True,
+        noise_reduction_strength=0.8)
+    assert n == 1
+
+
+@pytest.mark.slow
+def test_feature_extraction_batched_matches_serial(tmp_path):
+    """Same-length segments batched through ONE device dispatch must be
+    bit-identical to the per-file path (no padding tricks — exact-shape
+    groups only). The TPU answer to `extract.py:101-160` parallelism."""
+    import jax
+
+    from rvc_tpu.configs import get_config
+    from rvc_tpu.models.hubert import HubertConfig, HubertModel
+    from rvc_tpu.preprocess import AudioPreprocessor, FeatureExtractor
+    from rvc_tpu.utils.audio import save_wav
+    from rvc_tpu.utils.init_utils import init_on_cpu
+
+    sr = 32000
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    for i in range(5):
+        save_wav(str(data_dir / f"f{i}.wav"),
+                 _speechish(sr, dur=4.0) * (0.4 + 0.1 * i), sr)
+    exp = str(tmp_path / "exp")
+    AudioPreprocessor(exp, sr).process_directory(str(data_dir), "Simple",
+                                                 chunk_len=1.0)
+
+    cfg = get_config(sr)
+    hubert = HubertModel(HubertConfig(hidden_size=96, num_hidden_layers=2,
+                                      num_attention_heads=4,
+                                      intermediate_size=192, conv_dim=48))
+    hv = init_on_cpu(hubert.init, jax.random.PRNGKey(0),
+                     __import__("jax.numpy", fromlist=["zeros"]).zeros((1, 1600)))
+
+    fe_b = FeatureExtractor(exp, cfg, hubert=hubert, hubert_variables=hv,
+                            f0_method="rmvpe")
+    n = fe_b.process_all(batch_size=8)
+    assert n >= 5
+    batched = {d: {f: np.load(os.path.join(fe_b.dirs[d], f))
+                   for f in sorted(os.listdir(fe_b.dirs[d]))}
+               for d in fe_b.dirs}
+
+    exp2 = str(tmp_path / "exp2")
+    import shutil
+
+    for sub in ("sliced_audios", "sliced_audios_16k"):
+        shutil.copytree(os.path.join(exp, sub), os.path.join(exp2, sub))
+    fe_s = FeatureExtractor(exp2, cfg, hubert=hubert, hubert_variables=hv,
+                            f0_method="rmvpe")
+    # pin the same random RMVPE weights on both extractors
+    fe_s.pitch = fe_b.pitch
+    n2 = fe_s.process_all(batch_size=1)
+    assert n2 == n
+    for d in fe_b.dirs:
+        for f, arr in batched[d].items():
+            ref = np.load(os.path.join(fe_s.dirs[d], f))
+            if d == "f0":  # coarse bins: a reduction-order wobble may
+                # flip a boundary frame by one bin at most
+                assert np.abs(arr.astype(int) - ref.astype(int)).max() <= 1
+            else:  # same math, batch-dependent XLA reduction tiling
+                np.testing.assert_allclose(arr, ref, atol=1e-2, rtol=1e-4,
+                                           err_msg=f"{d}/{f}")
+
+
 def test_voice_metrics(sine_wave):
     y, sr = sine_wave
     assert spectrogram_correlation(y, y) > 0.999

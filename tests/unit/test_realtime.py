@@ -72,6 +72,63 @@ def test_voice_changer_stream(sine_wave):
 
 
 @pytest.mark.slow
+def test_silence_short_circuit_no_dispatch(monkeypatch):
+    """A gated (silent) block must not dispatch ANY device work
+    (reference short-circuits before converting, `core.py:215-243`), and
+    conversion must resume cleanly — same block size, finite output,
+    pitch state rolled by the silent gap."""
+    from rvc_tpu.api import RVC
+    from rvc_tpu.configs import get_config
+    from rvc_tpu.realtime.core import Realtime, AUDIO_SAMPLE_RATE
+
+    cfg = get_config(32000, model_spk_embed_dim=2, model_n_layers=1,
+                     model_upsample_initial_channel=64)
+    rvc = RVC(config=cfg, seed=0)
+    monkeypatch.setenv("RVC_TPU_RT_FUSED", "1")
+    rt = Realtime(rvc, f0_method="rmvpe", silent_threshold=-40)
+    rt.realloc(48 * 128, int(0.2 * AUDIO_SAMPLE_RATE),
+               int(0.05 * AUDIO_SAMPLE_RATE), AUDIO_SAMPLE_RATE // 100)
+
+    block = 48 * 128
+    t = np.arange(block) / AUDIO_SAMPLE_RATE
+    speech = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    silence = np.zeros(block, dtype=np.float32)
+
+    out0, vol0 = rt.inference(speech, index_rate=0.0)
+    assert np.isfinite(out0).all() and vol0 > 0
+    n_out = out0.shape[0]
+
+    # one transition block: the rolling volume buffer still holds speech,
+    # so the gate correctly stays open while the tail drains
+    rt.inference(silence, index_rate=0.0)
+    assert rt._pending_zero_frames == 0
+
+    # silent blocks: forbid every conversion entry point
+    def boom(*a, **k):
+        raise AssertionError("device dispatch on a gated block")
+
+    monkeypatch.setattr(rt, "_get_block_program", boom)
+    monkeypatch.setattr(rt, "_update_pitch", boom)
+    monkeypatch.setattr(rt.rvc.pipeline, "voice_conversion", boom)
+    bf = rt.block_16k // rt.window_size
+    for i in range(3):
+        out, vol = rt.inference(silence, index_rate=0.0)
+        assert out.shape == (n_out,)
+        assert (out == 0).all()
+        assert rt._pending_zero_frames == min((i + 1) * bf,
+                                              rt.convert_feature_size)
+    assert (rt.pitchf_buffer[-3 * bf:] == 0).all()
+
+    # speech resumes: dispatch allowed again, pending roll consumed
+    monkeypatch.undo()
+    monkeypatch.setenv("RVC_TPU_RT_FUSED", "1")
+    out1, vol1 = rt.inference(speech, index_rate=0.0)
+    assert out1.shape == (n_out,)
+    assert np.isfinite(out1).all()
+    assert rt._pending_zero_frames == 0
+
+
+@pytest.mark.slow
 def test_fused_block_matches_staged(monkeypatch):
     """The fused realtime block program (tail f0 + device pitch state +
     synth in ONE dispatch) must match the staged path block for block."""

@@ -45,3 +45,41 @@ def test_socket_server_roundtrip():
 
     out = asyncio.run(run_once())
     np.testing.assert_allclose(out, np.arange(8) * 0.5, atol=1e-6)
+
+
+def test_websocket_server_reference_protocol():
+    """Loopback through the ws-audio protocol: JSON params frame, then
+    binary blocks; expect a latency text frame + converted block each
+    (`rvc_mlx/realtime/client.py:16-96`)."""
+    import asyncio
+    import json
+
+    import pytest
+
+    websockets = pytest.importorskip("websockets")
+    from rvc_tpu.realtime.server import RealtimeWebSocketServer
+
+    srv = RealtimeWebSocketServer(voice_changer=StubVC())
+
+    async def run_once():
+        async with websockets.serve(srv._handle, "127.0.0.1", 0) as server:
+            port = server.sockets[0].getsockname()[1]
+            async with websockets.connect(f"ws://127.0.0.1:{port}/ws-audio") as ws:
+                await ws.send(json.dumps({
+                    "chunk_size": 2, "pitch": 0, "index_rate": 0,
+                    "protect": 0.5, "input_audio_gain": 100.0,
+                    "autotune": False, "autotune_strength": 1.0,
+                    "kwargs": {}}))
+                block = np.arange(256, dtype="<f4")
+                results = []
+                for _ in range(2):
+                    await ws.send(block.tobytes())
+                    lat = json.loads(await ws.recv())
+                    assert lat["type"] == "latency"
+                    out = np.frombuffer(await ws.recv(), dtype="<f4")
+                    results.append(out)
+                return results
+
+    outs = asyncio.run(asyncio.wait_for(run_once(), timeout=60))
+    for out in outs:
+        np.testing.assert_allclose(out, np.arange(256) * 0.5, atol=1e-6)

@@ -91,6 +91,75 @@ def test_train_step_runs_and_improves(tiny_cfg, tiny_batch):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("vocoder", ["HiFi-GAN", "MRF HiFi-GAN", "RefineGAN"])
+def test_train_step_per_vocoder(vocoder, tiny_batch):
+    """One full G+D step per vocoder family; RefineGAN must get the v3
+    discriminator (multi-resolution bank) + multi-scale mel loss
+    (`rvc/train/train.py:73-75,466`), and gradients must reach the
+    vocoder (dec) params."""
+    cfg = get_config(
+        32000, model_spk_embed_dim=2, model_n_layers=1,
+        model_upsample_initial_channel=64, train_segment_size=320 * 12,
+        train_batch_size=2, model_vocoder=vocoder)
+    state, net_g, net_d = create_train_state(cfg, jax.random.PRNGKey(2))
+    assert net_d.use_multi_resolution == (vocoder == "RefineGAN")
+    if vocoder == "RefineGAN":
+        assert any(k.startswith("disc_r_") for k in state.d_params)
+
+    dec_before = jax.device_get(state.g_params["dec"])
+    step = make_train_step(cfg, net_g, net_d, adversarial=True)
+    state, metrics = step(state, tiny_batch, jax.random.PRNGKey(0))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{vocoder}: {k} not finite"
+    assert float(metrics["loss_mel"]) > 0
+    dec_after = jax.device_get(state.g_params["dec"])
+    moved = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(a - b).max()), dec_before, dec_after))
+    assert max(moved) > 0, f"{vocoder}: no gradient reached the vocoder"
+
+
+@pytest.mark.slow
+def test_d_gate_skips_optimizer_state(tiny_cfg, tiny_batch):
+    """Below-threshold D loss must leave d_params AND the AdamW moments
+    bit-identical (the reference SKIPS the update, `trainer.py:453`) —
+    not just zero the grads, which would still decay weights and advance
+    moments."""
+    cfg = get_config(
+        32000, model_spk_embed_dim=2, model_n_layers=1,
+        model_upsample_initial_channel=64, train_segment_size=320 * 12,
+        train_batch_size=2, train_d_loss_threshold=1e9)
+    state, net_g, net_d = create_train_state(cfg, jax.random.PRNGKey(3))
+    d_params_0 = jax.device_get(state.d_params)
+    d_opt_0 = jax.device_get(state.d_opt)
+
+    step = make_train_step(cfg, net_g, net_d, adversarial=True)
+    state, metrics = step(state, tiny_batch, jax.random.PRNGKey(0))
+    assert float(metrics["loss_d"]) < 1e9  # gate actually fired
+
+    d_params_1 = jax.device_get(state.d_params)
+    d_opt_1 = jax.device_get(state.d_opt)
+    jax.tree.map(np.testing.assert_array_equal, d_params_0, d_params_1)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+                 d_opt_0, d_opt_1)
+    # ...and the generator still trained
+    assert int(state.step) == 1
+
+    # threshold 0 disables the gate: D state must move
+    cfg_on = get_config(
+        32000, model_spk_embed_dim=2, model_n_layers=1,
+        model_upsample_initial_channel=64, train_segment_size=320 * 12,
+        train_batch_size=2, train_d_loss_threshold=0.0)
+    state2, net_g2, net_d2 = create_train_state(cfg_on, jax.random.PRNGKey(3))
+    d_before = jax.device_get(state2.d_params)
+    step2 = make_train_step(cfg_on, net_g2, net_d2, adversarial=True)
+    state2, _ = step2(state2, tiny_batch, jax.random.PRNGKey(0))
+    moved = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(a - b).max()),
+        d_before, jax.device_get(state2.d_params))))
+    assert moved > 0
+
+
+@pytest.mark.slow
 def test_warmup_mode_no_adversarial(tiny_cfg, tiny_batch):
     cfg = tiny_cfg
     state, net_g, net_d = create_train_state(cfg, jax.random.PRNGKey(1))

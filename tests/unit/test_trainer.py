@@ -84,6 +84,47 @@ def test_trainer_epochs_and_checkpoint(tiny_setup):
 
 
 @pytest.mark.slow
+def test_trainer_observability_artifacts(tmp_path):
+    """Training with an eval batch must emit tracker artifacts: scalar
+    series, eval audio, and a mel-spectrogram image (the torch trainer's
+    tensorboard outputs, `rvc/train/train.py:838-900`)."""
+    import jax.numpy as jnp
+
+    from rvc_tpu.train.train_step import Batch
+
+    cfg = get_config(32000, model_spk_embed_dim=2, model_n_layers=1,
+                     model_upsample_initial_channel=64,
+                     train_segment_size=320 * 12, train_batch_size=2)
+    ds = FakeDataset(4, 50, cfg)
+    loader = DataLoader(ds, batch_size=2, drop_last=True)
+    ckpt = str(tmp_path / "ckpt")
+    tr = RVCTrainer(cfg, loader, checkpoint_dir=ckpt, seed=0,
+                    model_name="tiny", log_every_steps=1)
+    T = 24
+    r = np.random.default_rng(1)
+    tr.eval_batch = Batch(
+        phone=jnp.asarray(r.standard_normal((1, T, 768)).astype(np.float32)),
+        phone_lengths=jnp.array([T]),
+        pitch=jnp.asarray(r.integers(1, 255, (1, T)).astype(np.int32)),
+        pitchf=jnp.full((1, T), 180.0),
+        spec=jnp.zeros((1, T, cfg.data.spec_channels)),
+        spec_lengths=jnp.array([T]),
+        wave=jnp.zeros((1, T * cfg.data.hop_length)),
+        sid=jnp.array([0]))
+    tr.train(epochs=1, save_every=1, warmup_epochs=1)
+
+    rows = [json.loads(l) for l in open(tr.tracker.path)]
+    assert any("loss_mel" in r for r in rows), "no scalar series logged"
+    audio_dir = os.path.join(ckpt, "audio")
+    img_dir = os.path.join(ckpt, "images")
+    assert any(f.startswith("eval") for f in os.listdir(audio_dir))
+    assert any(f.startswith("eval") for f in os.listdir(img_dir))
+    tb_dir = os.path.join(ckpt, "tb", "tiny")
+    if os.path.isdir(tb_dir):  # tensorboard backend active in this image
+        assert any("tfevents" in f for f in os.listdir(tb_dir))
+
+
+@pytest.mark.slow
 def test_trainer_reference_flags(tmp_path):
     """save_only_latest / save_every_weights / cache_data_on_device /
     d_step_per_g_step (reference rvc/train/train.py flag parity)."""
