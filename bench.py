@@ -53,8 +53,10 @@ def main():
     out = rvc.infer(audio, **kwargs)
     assert np.isfinite(out).all() and len(out) > 0
 
+    # 5 runs: the tunneled link's RTT jitter dominates run-to-run spread,
+    # a larger sample stabilizes the median
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         out = rvc.infer(audio, **kwargs)
         np.asarray(out)

@@ -148,14 +148,17 @@ def cmd_tts(args):
         print("edge-tts is not installed (network TTS frontend unavailable); "
               "provide a wav with `infer` instead.", file=sys.stderr)
         sys.exit(2)
-    import asyncio
+    # --tts_file: read the text from a file (reference rvc_cli.py tts)
+    text = args.tts_text
+    if getattr(args, "tts_file", None):
+        with open(args.tts_file) as f:
+            text = f.read().strip()
+    if not text:
+        print("no TTS text: pass --tts_text or --tts_file", file=sys.stderr)
+        sys.exit(2)
+    from rvc_tpu.tools.tts import synthesize
 
-    async def synth():
-        tts = edge_tts.Communicate(args.tts_text, args.tts_voice,
-                                   rate=f"{args.tts_rate:+d}%")
-        await tts.save(args.output_tts_path)
-
-    asyncio.run(synth())
+    synthesize(text, args.tts_voice, args.tts_rate, args.output_tts_path)
     rvc = _load_rvc(args)
     rvc.infer_file(args.output_tts_path, args.output_path,
                    **_infer_kwargs(args))
@@ -352,7 +355,8 @@ def cmd_prerequisites(args):
     from rvc_tpu.tools.download import download_prerequisites
 
     download_prerequisites(pretraineds=args.pretraineds_hifigan,
-                           models=args.models)
+                           models=args.models, titan=args.titan,
+                           refinegan=args.refinegan)
 
 
 def main(argv=None):
@@ -382,7 +386,9 @@ def main(argv=None):
     for a in list(p._actions):
         if a.dest == "input_path":
             a.required = False
-    p.add_argument("--tts_text", required=True)
+    p.add_argument("--tts_text", default=None)
+    p.add_argument("--tts_file", default=None,
+                   help="read the text to synthesize from a file")
     p.add_argument("--tts_voice", default="en-US-AriaNeural")
     p.add_argument("--tts_rate", type=int, default=0)
     p.add_argument("--output_tts_path", default="tts_output.wav")
@@ -488,6 +494,10 @@ def main(argv=None):
     p = sub.add_parser("prerequisites")
     p.add_argument("--pretraineds_hifigan", action="store_true")
     p.add_argument("--models", action="store_true", default=True)
+    p.add_argument("--titan", action="store_true",
+                   help="TITAN community pretrains (reference --titan)")
+    p.add_argument("--refinegan", action="store_true",
+                   help="RefineGAN pretrains")
     p.set_defaults(fn=cmd_prerequisites)
 
     p = sub.add_parser(

@@ -1,35 +1,52 @@
 """Model/prerequisite downloader.
 
-Capability parity with `rvc*/lib/tools/model_download.py` and
-`prerequisites_download.py`: fetch voice models (zip/pth/index links) and
-the standard pretrained asset set from HuggingFace. Degrades with a clear
-error in air-gapped environments.
+Capability parity with `rvc*/lib/tools/model_download.py` (HuggingFace,
+Google Drive with the gdown confirm-token flow, direct zip/pth links)
+and `rvc_mlx/lib/tools/prerequisites_download.py:6-60` (the full asset
+catalog: HiFi-GAN f0G/f0D pretrains at 32/40/48k, TITAN community
+pretrains, RefineGAN pretrains, rmvpe/fcpe predictors, contentvec
+embedder). Degrades with a clear error in air-gapped environments.
 """
 
 from __future__ import annotations
 
 import os
+import re
 import sys
 import urllib.request
 import zipfile
+from typing import Optional
 
-HF_BASE = "https://huggingface.co/IAHispano/Applio/resolve/main"
+HF_BASE = "https://huggingface.co/IAHispano/Applio/resolve/main/Resources"
 
+# remote folder -> file list (reference `prerequisites_download.py:10-50`)
 PREREQUISITES = {
     "predictors": ["rmvpe.pt", "fcpe.pt"],
-    "embedders": ["contentvec/pytorch_model.bin", "contentvec/config.json"],
-    "pretrained_v2": [
-        f"{kind}{sr}.pth"
-        for sr in ("32k", "40k", "48k")
-        for kind in ("f0G", "f0D")
-    ],
+    "embedders/contentvec": ["pytorch_model.bin", "config.json"],
+    "pretrained_v2": [f"{k}{sr}.pth" for sr in ("32k", "40k", "48k")
+                      for k in ("f0G", "f0D")],
+    "titan": [f"{k}{sr}.pth" for sr in ("32k", "40k", "48k")
+              for k in ("f0G", "f0D")],
+    "refinegan": ["f0G32k.pth", "f0D32k.pth"],
+}
+
+# remote folder -> local layout (mirrors `folder_mapping_list`)
+FOLDER_MAPPING = {
+    "predictors": "predictors",
+    "embedders/contentvec": "embedders/contentvec",
+    "pretrained_v2": "pretraineds/hifi-gan",
+    "titan": "pretraineds/titan",
+    "refinegan": "pretraineds/refinegan",
 }
 
 
 def _fetch(url: str, dest: str) -> str:
     os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
     try:
-        urllib.request.urlretrieve(url, dest)
+        req = urllib.request.Request(url, headers={"User-Agent": "rvc-tpu"})
+        with urllib.request.urlopen(req) as r, open(dest, "wb") as f:
+            while chunk := r.read(1 << 20):
+                f.write(chunk)
     except Exception as e:
         raise RuntimeError(
             f"download failed ({e}); this environment may be air-gapped — "
@@ -37,32 +54,104 @@ def _fetch(url: str, dest: str) -> str:
     return dest
 
 
+def gdrive_file_id(url: str) -> Optional[str]:
+    """Extract a Google Drive file id from any of its link shapes."""
+    for pat in (r"drive\.google\.com/file/d/([\w-]+)",
+                r"drive\.google\.com/uc\?.*id=([\w-]+)",
+                r"drive\.google\.com/open\?.*id=([\w-]+)",
+                r"docs\.google\.com/uc\?.*id=([\w-]+)"):
+        m = re.search(pat, url)
+        if m:
+            return m.group(1)
+    return None
+
+
+def download_gdrive(file_id: str, dest: str) -> str:
+    """gdown-equivalent Google Drive fetch: follow the virus-scan
+    confirm flow for large files (`rvc_mlx/lib/tools/model_download.py:
+    37-126` vendors gdown for the same purpose)."""
+    import http.cookiejar
+
+    jar = http.cookiejar.CookieJar()
+    opener = urllib.request.build_opener(
+        urllib.request.HTTPCookieProcessor(jar))
+    opener.addheaders = [("User-Agent", "rvc-tpu")]
+    url = f"https://drive.google.com/uc?export=download&id={file_id}"
+    try:
+        with opener.open(url) as r:
+            data = r.read()
+            ctype = r.headers.get("Content-Type", "")
+        if "text/html" in ctype:
+            html = data.decode("utf-8", "replace")
+            # large files: resubmit the confirm form on drive.usercontent
+            m = re.search(r'action="([^"]+)"', html)
+            fields = dict(re.findall(
+                r'name="([^"]+)"\s+value="([^"]*)"', html))
+            if m and fields:
+                from urllib.parse import urlencode
+
+                with opener.open(f"{m.group(1)}?{urlencode(fields)}") as r2:
+                    data = r2.read()
+            else:
+                raise RuntimeError("Google Drive did not serve the file "
+                                   "(quota exceeded or permission denied)")
+        os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+        with open(dest, "wb") as f:
+            f.write(data)
+        return dest
+    except RuntimeError:
+        raise
+    except Exception as e:
+        raise RuntimeError(
+            f"Google Drive download failed ({e}); this environment may be "
+            f"air-gapped — place the file manually at {dest}") from e
+
+
+def normalize_link(link: str) -> str:
+    """Rewrite share-page URLs to direct-download form (HF blob ->
+    resolve, the reference does the same in `model_download.py:163+`)."""
+    if "huggingface.co" in link and "/blob/" in link:
+        link = link.replace("/blob/", "/resolve/")
+    return link.split("?download")[0]
+
+
 def download_model(link: str, output_dir: str = "models") -> str:
+    """Fetch a voice model from HF / Google Drive / any direct link;
+    zips are extracted in place."""
     os.makedirs(output_dir, exist_ok=True)
-    name = link.rstrip("/").split("/")[-1].split("?")[0] or "model.zip"
-    dest = os.path.join(output_dir, name)
-    _fetch(link, dest)
-    if dest.endswith(".zip"):
+    fid = gdrive_file_id(link)
+    if fid:
+        dest = os.path.join(output_dir, f"gdrive_{fid}.zip")
+        download_gdrive(fid, dest)
+    else:
+        link = normalize_link(link)
+        name = link.rstrip("/").split("/")[-1].split("?")[0] or "model.zip"
+        dest = os.path.join(output_dir, name)
+        _fetch(link, dest)
+    if zipfile.is_zipfile(dest):
         with zipfile.ZipFile(dest) as z:
             z.extractall(output_dir)
     return dest
 
 
 def download_prerequisites(pretraineds: bool = False, models: bool = True,
+                           titan: bool = False, refinegan: bool = False,
                            base_dir: str = "models") -> None:
-    jobs = []
+    folders = []
     if models:
-        jobs += [(f"{HF_BASE}/predictors/{f}", os.path.join(base_dir, "predictors", f))
-                 for f in PREREQUISITES["predictors"]]
-        jobs += [(f"{HF_BASE}/embedders/{f}", os.path.join(base_dir, "embedders", f))
-                 for f in PREREQUISITES["embedders"]]
+        folders += ["predictors", "embedders/contentvec"]
     if pretraineds:
-        jobs += [(f"{HF_BASE}/pretrained_v2/{f}",
-                  os.path.join(base_dir, "pretrained_v2", f))
-                 for f in PREREQUISITES["pretrained_v2"]]
-    for url, dest in jobs:
-        if os.path.exists(dest):
-            print(f"exists: {dest}")
-            continue
-        print(f"fetching {url}")
-        _fetch(url, dest)
+        folders += ["pretrained_v2"]
+    if titan:
+        folders += ["titan"]
+    if refinegan:
+        folders += ["refinegan"]
+    for folder in folders:
+        for f in PREREQUISITES[folder]:
+            dest = os.path.join(base_dir, FOLDER_MAPPING[folder], f)
+            if os.path.exists(dest):
+                print(f"exists: {dest}")
+                continue
+            url = f"{HF_BASE}/{folder}/{f}"
+            print(f"fetching {url}")
+            _fetch(url, dest)

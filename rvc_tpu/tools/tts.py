@@ -21,7 +21,11 @@ FALLBACK_VOICES = [
 ]
 
 
-def list_voices() -> List[str]:
+def list_voices(catalog_path: Optional[str] = None) -> List[str]:
+    """Full catalog from edge-tts when installed; otherwise a local
+    `tts_voices.json` (the reference ships one with 800+ entries — drop
+    it next to the models dir or point RVC_TPU_TTS_VOICES at it); else
+    the built-in fallback set."""
     try:
         import edge_tts
 
@@ -31,7 +35,23 @@ def list_voices() -> List[str]:
         voices = asyncio.run(q())
         return sorted(v["ShortName"] for v in voices)
     except Exception:
-        return list(FALLBACK_VOICES)
+        pass
+    import json
+    import os
+
+    for p in (catalog_path, os.environ.get("RVC_TPU_TTS_VOICES"),
+              os.path.join("models", "tts_voices.json")):
+        if p and os.path.exists(p):
+            try:
+                with open(p) as f:
+                    data = json.load(f)
+                if isinstance(data, list):
+                    names = [v.get("ShortName", v) if isinstance(v, dict)
+                             else str(v) for v in data]
+                    return sorted(names)
+            except Exception:
+                continue
+    return list(FALLBACK_VOICES)
 
 
 def synthesize(text: str, voice: str = "en-US-AriaNeural",
