@@ -74,8 +74,16 @@ class RVC:
         hubert_path: Optional[str] = None,
         index_path: Optional[str] = None,
         seed: int = 0,
+        embedder_model: str = "contentvec",
+        embedder_model_custom: Optional[str] = None,
     ):
         self.cfg, synth_params = self._load_model(model_path, config, seed)
+        if hubert_path is None:
+            # named embedder selection (reference `rvc_cli.py:765-775`)
+            from rvc_tpu.utils.embedders import resolve_embedder
+
+            hubert_path = resolve_embedder(embedder_model,
+                                           embedder_model_custom)
         self.synthesizer = build_synthesizer(self.cfg)
 
         self.hubert = HubertModel(HubertConfig())
@@ -179,6 +187,7 @@ class RVC:
         formant_qfrency: float = 1.0,
         formant_timbre: float = 1.0,
         post_process: bool = False,
+        f0_hop_length: int = 160,
         **fx_kwargs,
     ) -> np.ndarray:
         """16 kHz mono float array -> converted audio at the model's sr.
@@ -204,6 +213,7 @@ class RVC:
                 input_f0=input_f0,
                 proposed_pitch=proposed_pitch,
                 proposed_pitch_threshold=proposed_pitch_threshold,
+                f0_hop_length=f0_hop_length,
             )
 
         if split_audio:

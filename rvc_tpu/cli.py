@@ -43,6 +43,14 @@ def _add_infer_args(p):
     p.add_argument("--proposed_pitch_threshold", type=float, default=155.0)
     p.add_argument("--sid", type=int, default=0)
     p.add_argument("--hubert_path", default=None)
+    p.add_argument("--embedder_model", default="contentvec",
+                   choices=["contentvec", "chinese-hubert-base",
+                            "japanese-hubert-base", "korean-hubert-base",
+                            "custom"])
+    p.add_argument("--embedder_model_custom", default=None,
+                   help="checkpoint path when --embedder_model custom")
+    p.add_argument("--hop_length", type=int, default=160,
+                   help="crepe analysis hop in 16 kHz samples")
     p.add_argument("--split_audio", action="store_true")
     p.add_argument("--clean_audio", action="store_true")
     p.add_argument("--clean_strength", type=float, default=0.5)
@@ -107,6 +115,7 @@ def _infer_kwargs(args):
         formant_timbre=args.formant_timbre,
         post_process=args.post_process,
         export_format=args.export_format,
+        f0_hop_length=args.hop_length,
     )
     kw.update({k: getattr(args, k) for k in _FX_KEYS})
     return kw
@@ -116,7 +125,9 @@ def _load_rvc(args):
     from rvc_tpu.api import RVC
 
     return RVC(model_path=args.model_path, hubert_path=args.hubert_path,
-               index_path=args.index_path)
+               index_path=args.index_path,
+               embedder_model=getattr(args, "embedder_model", "contentvec"),
+               embedder_model_custom=getattr(args, "embedder_model_custom", None))
 
 
 def cmd_infer(args):
@@ -241,22 +252,56 @@ def cmd_preprocess(args):
 def cmd_extract(args):
     from rvc_tpu.configs import get_config
     from rvc_tpu.preprocess import FeatureExtractor, DatasetBuilder
+    from rvc_tpu.utils.embedders import resolve_embedder
 
     exp_dir = os.path.join(args.logs_dir, args.model_name)
     cfg = get_config(args.sample_rate)
-    fe = FeatureExtractor(exp_dir, cfg, f0_method=args.f0_method)
-    n = fe.process_all(batch_size=args.batch_size)
+    hubert_path = args.hubert_path or resolve_embedder(
+        args.embedder_model, args.embedder_model_custom)
+    fe = FeatureExtractor(exp_dir, cfg, f0_method=args.f0_method,
+                          f0_hop_length=args.hop_length,
+                          hubert_path=hubert_path)
+    n = fe.process_all(batch_size=args.batch_size, cpu_cores=args.cpu_cores)
     builder = DatasetBuilder(exp_dir)
     train_rows, val_rows = builder.build()
+    if args.include_mutes > 0:
+        # mute-sample padding per speaker (`preparing_files.py:58-67`)
+        train_rows = train_rows + builder.add_mutes(
+            cfg, args.include_mutes, feature_extractor=fe)
     builder.write_filelist(os.path.join(exp_dir, "filelist_train.txt"), train_rows)
     builder.write_filelist(os.path.join(exp_dir, "filelist_val.txt"), val_rows)
     # experiment metadata (reference `preparing_files.py` model_info.json)
     sids = sorted({r["sid"] for r in train_rows + val_rows})
     with open(os.path.join(exp_dir, "model_info.json"), "w") as f:
         json.dump({"speakers_id": len(sids) or 1, "sample_rate": args.sample_rate,
-                   "f0_method": args.f0_method, "embedder_model": "contentvec",
+                   "f0_method": args.f0_method,
+                   "embedder_model": args.embedder_model,
                    "n_train": len(train_rows), "n_val": len(val_rows)}, f, indent=2)
     print(f"{n} segments extracted; {len(train_rows)} train / {len(val_rows)} val")
+
+
+def _default_pretrains(args):
+    """Stock pretrain paths for --pretrained, matching the downloader's
+    local layout (`tools/download.py:FOLDER_MAPPING`)."""
+    from rvc_tpu.utils.embedders import models_dir
+
+    if args.vocoder == "RefineGAN":
+        family = "refinegan"
+    elif args.pretrain == "titan":
+        family = "titan"
+    else:
+        family = "hifi-gan"
+    srk = f"{args.sample_rate // 1000}k"
+    root = os.path.join(models_dir(), "pretraineds", family)
+    g = os.path.join(root, f"f0G{srk}.pth")
+    d = os.path.join(root, f"f0D{srk}.pth")
+    missing = [p for p in (g, d) if not os.path.exists(p)]
+    if missing:
+        print(f"warning: --pretrained requested but {missing} not found; "
+              f"fetch with `rvc-tpu prerequisites` — training from "
+              f"scratch", file=sys.stderr)
+        return None, None
+    return g, d
 
 
 def cmd_train(args):
@@ -299,25 +344,49 @@ def cmd_train(args):
     for r in rows:
         if "spec" in r and os.path.exists(r["spec"]):
             r["n_frames"] = int(np.load(r["spec"], mmap_mode="r").shape[0])
+    batch_size = args.batch_size
+    if args.auto_batch_size:
+        from rvc_tpu.train.overtraining import calculate_recommended_batch_size
+
+        minutes = sum(r.get("n_frames", 0) for r in rows) \
+            * cfg.data.hop_length / cfg.data.sample_rate / 60.0
+        batch_size = calculate_recommended_batch_size(minutes)
+        print(f"auto batch size: {batch_size} ({minutes:.1f} min of audio)")
+    ckpt_dir = os.path.join(exp_dir, "ckpt")
+    if args.cleanup and shard["host_id"] == 0 and os.path.isdir(ckpt_dir):
+        # fresh run requested: drop stale checkpoints (reference
+        # `rvc_cli.py --cleanup` wipes the experiment's train state)
+        import shutil
+
+        shutil.rmtree(ckpt_dir)
     ds = RVCDataset(rows, cfg.data.hop_length)
-    loader = DataLoader(ds, args.batch_size, num_hosts=shard["num_hosts"],
+    loader = DataLoader(ds, batch_size, num_hosts=shard["num_hosts"],
                         host_id=shard["host_id"],
                         shuffle=not args.no_shuffle)
-    trainer = RVCTrainer(cfg, loader, checkpoint_dir=os.path.join(exp_dir, "ckpt"),
+    trainer = RVCTrainer(cfg, loader, checkpoint_dir=ckpt_dir,
                          use_overtraining_detector=args.overtraining_detector,
                          overtraining_threshold=args.overtraining_threshold,
+                         overtraining_patience=args.overtraining_patience,
                          save_only_latest=args.save_only_latest,
                          save_every_weights=args.save_every_weights,
                          cache_data_on_device=args.cache_data_in_gpu,
                          model_name=args.model_name,
                          mesh=mesh, use_aim=args.use_aim)
-    if args.g_pretrained_path or args.d_pretrained_path:
-        trainer.load_pretrained(args.g_pretrained_path, args.d_pretrained_path)
+    g_path, d_path = args.g_pretrained_path, args.d_pretrained_path
+    if args.custom_pretrained and not (g_path or d_path):
+        raise SystemExit("--custom_pretrained requires --g_pretrained_path/"
+                         "--d_pretrained_path")
+    if args.pretrained and not (g_path or d_path):
+        g_path, d_path = _default_pretrains(args)
+    if g_path or d_path:
+        trainer.load_pretrained(g_path, d_path)
     result = trainer.train(args.total_epoch, save_every=args.save_every_epoch)
     final = None
     if shard["host_id"] == 0:
         final = trainer.export_inference_model(
             os.path.join(exp_dir, f"{args.model_name}.safetensors"))
+        if args.index_algorithm:
+            cmd_index(args)
     print(json.dumps({"epochs_run": result["epochs_run"],
                       "best_loss": result["best_loss"], "model": final,
                       "host": shard["host_id"]}))
@@ -338,6 +407,18 @@ def cmd_index(args):
     all_feats = np.concatenate(feats, axis=0)
     rng = np.random.default_rng(0)
     rng.shuffle(all_feats)
+    algo = getattr(args, "index_algorithm", "Auto") or "Auto"
+    compress = algo == "KMeans" or (algo == "Auto" and len(all_feats) > 200_000)
+    if compress and len(all_feats) > 256:
+        # compress to <=10k centroids before indexing (reference
+        # MiniBatchKMeans branch, `rvc/train/process/extract_index.py`)
+        from rvc_tpu.retrieval.ivf import _kmeans_fit
+        import jax.numpy as jnp
+
+        k = min(10_000, len(all_feats) // 4)
+        init = all_feats[rng.choice(len(all_feats), k, replace=False)]
+        cents = _kmeans_fit(jnp.asarray(all_feats), jnp.asarray(init), k)
+        all_feats = np.asarray(cents)
     idx = build_index(all_feats)
     out = os.path.join(exp_dir, f"{args.model_name}.index")
     write_faiss_index(idx, out)
@@ -356,7 +437,8 @@ def cmd_prerequisites(args):
 
     download_prerequisites(pretraineds=args.pretraineds_hifigan,
                            models=args.models, titan=args.titan,
-                           refinegan=args.refinegan)
+                           refinegan=args.refinegan,
+                           embedders=args.embedders)
 
 
 def main(argv=None):
@@ -435,9 +517,21 @@ def main(argv=None):
     p = sub.add_parser("extract")
     p.add_argument("--model_name", required=True)
     p.add_argument("--sample_rate", type=int, default=48000)
-    p.add_argument("--f0_method", default="rmvpe")
+    p.add_argument("--f0_method", default="rmvpe", type=_f0_method)
+    p.add_argument("--hop_length", type=int, default=160,
+                   help="crepe analysis hop in 16 kHz samples")
     p.add_argument("--batch_size", type=int, default=8,
                    help="same-length segments batched per device dispatch")
+    p.add_argument("--cpu_cores", type=int, default=None,
+                   help="parallel host-side audio decode workers")
+    p.add_argument("--include_mutes", type=int, default=2,
+                   help="mute samples appended per speaker (0 disables)")
+    p.add_argument("--hubert_path", default=None)
+    p.add_argument("--embedder_model", default="contentvec",
+                   choices=["contentvec", "chinese-hubert-base",
+                            "japanese-hubert-base", "korean-hubert-base",
+                            "custom"])
+    p.add_argument("--embedder_model_custom", default=None)
     p.add_argument("--logs_dir", default="logs")
     p.set_defaults(fn=cmd_extract)
 
@@ -450,8 +544,27 @@ def main(argv=None):
     p.add_argument("--warmup_epochs", type=int, default=0)
     p.add_argument("--g_pretrained_path", default=None)
     p.add_argument("--d_pretrained_path", default=None)
+    p.add_argument("--pretrained", action="store_true",
+                   help="load the stock pretrains matching --vocoder/"
+                        "--sample_rate from models/pretraineds")
+    p.add_argument("--custom_pretrained", action="store_true",
+                   help="use --g_pretrained_path/--d_pretrained_path")
+    p.add_argument("--pretrain", default="base", choices=["base", "titan"],
+                   help="pretrain family for --pretrained")
+    p.add_argument("--cleanup", action="store_true",
+                   help="delete stale checkpoints in the experiment dir "
+                        "before training")
+    p.add_argument("--index_algorithm", default=None,
+                   choices=["Auto", "Faiss", "KMeans"],
+                   help="also build the retrieval index after training")
+    p.add_argument("--auto_batch_size", action="store_true",
+                   help="pick the batch size from dataset length")
+    p.add_argument("--gpu", default=None,
+                   help="accepted for reference-CLI compat; devices come "
+                        "from JAX (ignored)")
     p.add_argument("--overtraining_detector", action="store_true")
     p.add_argument("--overtraining_threshold", type=int, default=50)
+    p.add_argument("--overtraining_patience", type=int, default=10)
     p.add_argument("--logs_dir", default="logs")
     p.add_argument("--save_only_latest", action="store_true")
     p.add_argument("--save_every_weights", action="store_true")
@@ -498,6 +611,8 @@ def main(argv=None):
                    help="TITAN community pretrains (reference --titan)")
     p.add_argument("--refinegan", action="store_true",
                    help="RefineGAN pretrains")
+    p.add_argument("--embedders", action="store_true",
+                   help="language-specialized HuBERT embedders")
     p.set_defaults(fn=cmd_prerequisites)
 
     p = sub.add_parser(

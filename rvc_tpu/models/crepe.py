@@ -66,11 +66,14 @@ class CREPEModel(nn.Module):
         return jax.nn.sigmoid(Linear(spec["in_features"], PITCH_BINS, name="classifier")(h))
 
 
-def frame_audio(audio: jax.Array) -> jax.Array:
-    """(B, T) -> normalized frames (B, n_frames, 1024), hop 160, reflect pad."""
+def frame_audio(audio: jax.Array, hop: int = HOP_SIZE) -> jax.Array:
+    """(B, T) -> normalized frames (B, n_frames, 1024), reflect pad.
+
+    `hop` is the analysis hop in 16 kHz samples (reference
+    `rvc_cli.py --hop_length`, crepe-only; default 160 = 10 ms)."""
     pad = WINDOW_SIZE // 2
     audio = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
-    frames = frame_signal(audio, WINDOW_SIZE, HOP_SIZE)
+    frames = frame_signal(audio, WINDOW_SIZE, hop)
     mean = jnp.mean(frames, axis=-1, keepdims=True)
     std = jnp.std(frames, axis=-1, keepdims=True)
     return (frames - mean) / jnp.maximum(std, 1e-10)
@@ -137,14 +140,27 @@ class CREPE:
         f0_max: float = 1100.0,
         threshold: float = 0.1,
         return_periodicity: bool = False,
+        hop: int = HOP_SIZE,
     ):
+        n_samples = len(np.asarray(audio))
         audio = jnp.asarray(np.asarray(audio, dtype=np.float32))[None]
-        frames = frame_audio(audio)[0]  # (T, 1024)
+        frames = frame_audio(audio, hop)[0]  # (T, 1024)
         probs = self._jit(self.variables, frames)
         f0, per = decode_probabilities(probs, f0_min, f0_max)
         per = _median_filter3(per)
         f0 = _mean_filter3(f0)
         f0 = jnp.where(per < threshold, 0.0, f0)
+        f0, per = np.asarray(f0), np.asarray(per)
+        if hop != HOP_SIZE:
+            # resample the analysis-hop track onto the pipeline's 10 ms
+            # frame grid (the reference interpolates torchcrepe's
+            # hop_length output to p_len the same way)
+            t_src = np.arange(len(f0)) * hop
+            t_dst = np.arange(n_samples // HOP_SIZE + 1) * HOP_SIZE
+            per_i = np.interp(t_dst, t_src, per)
+            f0 = np.interp(t_dst, t_src, f0)
+            f0 = np.where(per_i < threshold, 0.0, f0).astype(np.float32)
+            per = per_i.astype(np.float32)
         if return_periodicity:
-            return np.asarray(f0), np.asarray(per)
-        return np.asarray(f0)
+            return f0, per
+        return f0

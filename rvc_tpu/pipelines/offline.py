@@ -569,13 +569,17 @@ class Pipeline:
         input_f0: Optional[np.ndarray] = None,
         proposed_pitch: bool = False,
         proposed_pitch_threshold: float = 155.0,
+        f0_hop_length: int = 160,
     ):
         """x (T,) 16 kHz -> (coarse (p_len,), continuous (p_len,))."""
         if input_f0 is not None:
             f0 = np.asarray(input_f0, dtype=np.float32)
         else:
-            if self.pitch_extractor is None or self.pitch_extractor.method != f0_method:
-                self.pitch_extractor = PitchExtractor(f0_method)
+            if (self.pitch_extractor is None
+                    or self.pitch_extractor.method != f0_method
+                    or self.pitch_extractor.crepe_hop != f0_hop_length):
+                self.pitch_extractor = PitchExtractor(
+                    f0_method, crepe_hop=f0_hop_length)
             f0 = self.pitch_extractor.extract(x, F0_MIN, F0_MAX)
         if f0_autotune:
             f0 = autotune_f0(f0, f0_autotune_strength)
@@ -684,6 +688,7 @@ class Pipeline:
         input_f0: Optional[np.ndarray] = None,
         proposed_pitch: bool = False,
         proposed_pitch_threshold: float = 155.0,
+        f0_hop_length: int = 160,
     ) -> np.ndarray:
         """Full conversion: 16 kHz mono float -> target-sr waveform."""
         audio = np.asarray(audio, dtype=np.float32)
@@ -731,7 +736,8 @@ class Pipeline:
                         pitch, pitchf = self.get_f0(
                             chunk, p_len, f0_method, pitch_shift,
                             f0_autotune, f0_autotune_strength, input_f0,
-                            proposed_pitch, proposed_pitch_threshold)
+                            proposed_pitch, proposed_pitch_threshold,
+                            f0_hop_length)
                 else:
                     pitch = pitchf = None
                 pending.append(self.voice_conversion(

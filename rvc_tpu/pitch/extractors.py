@@ -33,7 +33,12 @@ class PitchExtractor:
         hop_size: int = 160,
         *,
         model=None,
+        crepe_hop: int = 160,
     ):
+        # crepe_hop: crepe's analysis hop in samples (reference CLI
+        # `--hop_length`); results are resampled to the 160-hop frame
+        # grid, so only crepe's time resolution changes.
+        self.crepe_hop = crepe_hop
         # hybrid[a+b+...] combines methods by the per-frame median of the
         # voiced estimates — the reference's CLI declares these choices
         # but never implemented them (`rvc_cli.py:678-691` vs
@@ -46,7 +51,8 @@ class PitchExtractor:
             self.method = method
             self.sample_rate = sample_rate
             self.hop_size = hop_size
-            self._sub = [PitchExtractor(s, sample_rate, hop_size) for s in subs]
+            self._sub = [PitchExtractor(s, sample_rate, hop_size,
+                                        crepe_hop=crepe_hop) for s in subs]
             self._model = None
             return
         self._sub = None
@@ -107,7 +113,7 @@ class PitchExtractor:
         elif m == "fcpe":
             f0 = np.asarray(self._model.infer_from_audio(audio, threshold=0.03))
         elif m in ("crepe", "crepe-tiny"):
-            f0 = self._model.get_f0(audio, f0_min, f0_max)
+            f0 = self._model.get_f0(audio, f0_min, f0_max, hop=self.crepe_hop)
         elif m == "dio":
             f0 = self._dio(audio, f0_min, f0_max)
         elif m == "harvest":
@@ -124,7 +130,9 @@ class PitchExtractor:
         f0 = self.extract(audio, f0_min, f0_max)
         conf = (f0 > 0).astype(np.float32)
         if self.method in ("crepe", "crepe-tiny"):
-            f0p, per = self._model.get_f0(audio, f0_min, f0_max, return_periodicity=True)
+            f0p, per = self._model.get_f0(audio, f0_min, f0_max,
+                                          return_periodicity=True,
+                                          hop=self.crepe_hop)
             return f0, per[: len(f0)]
         return f0, conf
 

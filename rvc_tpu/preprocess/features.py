@@ -32,6 +32,8 @@ class FeatureExtractor:
         hubert=None,
         hubert_variables=None,
         f0_method: str = "rmvpe",
+        f0_hop_length: int = 160,
+        hubert_path: Optional[str] = None,
     ):
         self.exp_dir = exp_dir
         self.cfg = cfg
@@ -43,12 +45,24 @@ class FeatureExtractor:
         }
         for d in self.dirs.values():
             os.makedirs(d, exist_ok=True)
-        self.pitch = PitchExtractor(f0_method)
+        self.pitch = PitchExtractor(f0_method, crepe_hop=f0_hop_length)
         if hubert is None:
             from rvc_tpu.models.hubert import HubertConfig, HubertModel
 
             hubert = HubertModel(HubertConfig())
-            hubert_variables = hubert.init(jax.random.PRNGKey(0), jnp.zeros((1, 1600)))
+            if hubert_path and os.path.exists(hubert_path):
+                from rvc_tpu.utils import weights as W
+
+                if hubert_path.endswith(".safetensors"):
+                    hp = W.load_params(hubert_path)
+                else:
+                    sd = W.load_torch_checkpoint(hubert_path)
+                    sd.pop("__meta__", None)
+                    hp = W.convert_hubert_state_dict(sd)
+                hubert_variables = {"params": hp}
+            else:
+                hubert_variables = hubert.init(jax.random.PRNGKey(0),
+                                               jnp.zeros((1, 1600)))
         self.hubert = hubert
         self.hubert_variables = hubert_variables
         self._hubert_jit = jax.jit(
@@ -109,16 +123,29 @@ class FeatureExtractor:
         for i, name in enumerate(names):
             self._save(name, f0[i], feats[i], spec[i])
 
-    def process_all(self, batch_size: int = 8) -> int:
+    def process_all(self, batch_size: int = 8,
+                    cpu_cores: Optional[int] = None) -> int:
         w16 = os.path.join(self.exp_dir, "sliced_audios_16k")
         gt = os.path.join(self.exp_dir, "sliced_audios")
         files = [f for f in sorted(os.listdir(w16)) if f.endswith(".wav")]
 
         # group by exact 16k length: same-shape segments batch losslessly
-        # (no padding, no attention-mask approximation)
+        # (no padding, no attention-mask approximation). cpu_cores
+        # parallelizes the host-side decode/resample (the reference fans
+        # the whole extraction out per core, `extract.py:101-160`; here
+        # the models batch on-device so only audio IO is CPU-bound).
+        def _load(f):
+            return audio_utils.load_audio(os.path.join(w16, f), 16000)
+
+        if cpu_cores and cpu_cores > 1 and len(files) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=cpu_cores) as ex:
+                audios = list(ex.map(_load, files))
+        else:
+            audios = [_load(f) for f in files]
         groups: dict = {}
-        for f in files:
-            a16 = audio_utils.load_audio(os.path.join(w16, f), 16000)
+        for f, a16 in zip(files, audios):
             groups.setdefault(len(a16), []).append((os.path.splitext(f)[0], a16, f))
 
         n = 0

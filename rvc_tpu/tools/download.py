@@ -28,6 +28,11 @@ PREREQUISITES = {
     "titan": [f"{k}{sr}.pth" for sr in ("32k", "40k", "48k")
               for k in ("f0G", "f0D")],
     "refinegan": ["f0G32k.pth", "f0D32k.pth"],
+    # language-specialized content encoders (reference `rvc_cli.py:
+    # 765-775` embedder_model choices; HuBERT-base layout)
+    "embedders/chinese-hubert-base": ["pytorch_model.bin", "config.json"],
+    "embedders/japanese-hubert-base": ["pytorch_model.bin", "config.json"],
+    "embedders/korean-hubert-base": ["pytorch_model.bin", "config.json"],
 }
 
 # remote folder -> local layout (mirrors `folder_mapping_list`)
@@ -37,6 +42,9 @@ FOLDER_MAPPING = {
     "pretrained_v2": "pretraineds/hifi-gan",
     "titan": "pretraineds/titan",
     "refinegan": "pretraineds/refinegan",
+    "embedders/chinese-hubert-base": "embedders/chinese-hubert-base",
+    "embedders/japanese-hubert-base": "embedders/japanese-hubert-base",
+    "embedders/korean-hubert-base": "embedders/korean-hubert-base",
 }
 
 
@@ -136,6 +144,7 @@ def download_model(link: str, output_dir: str = "models") -> str:
 
 def download_prerequisites(pretraineds: bool = False, models: bool = True,
                            titan: bool = False, refinegan: bool = False,
+                           embedders: bool = False,
                            base_dir: str = "models") -> None:
     folders = []
     if models:
@@ -146,6 +155,10 @@ def download_prerequisites(pretraineds: bool = False, models: bool = True,
         folders += ["titan"]
     if refinegan:
         folders += ["refinegan"]
+    if embedders:
+        folders += ["embedders/chinese-hubert-base",
+                    "embedders/japanese-hubert-base",
+                    "embedders/korean-hubert-base"]
     for folder in folders:
         for f in PREREQUISITES[folder]:
             dest = os.path.join(base_dir, FOLDER_MAPPING[folder], f)

@@ -21,6 +21,24 @@ FALLBACK_VOICES = [
 ]
 
 
+def builtin_catalog() -> List[str]:
+    """The full Edge neural voice catalog (322 voices / 142 locales —
+    the public Azure TTS voice list the reference ships verbatim as
+    `rvc/lib/tools/tts_voices.json`), stored compactly as
+    {locale: ["Name:G", ...]} and expanded to ShortNames here."""
+    import json
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), "tts_catalog.json")
+    try:
+        with open(p) as f:
+            compact = json.load(f)
+    except Exception:
+        return list(FALLBACK_VOICES)
+    return sorted(f"{loc}-{entry.split(':')[0]}Neural"
+                  for loc, entries in compact.items() for entry in entries)
+
+
 def list_voices(catalog_path: Optional[str] = None) -> List[str]:
     """Full catalog from edge-tts when installed; otherwise a local
     `tts_voices.json` (the reference ships one with 800+ entries — drop
@@ -51,7 +69,7 @@ def list_voices(catalog_path: Optional[str] = None) -> List[str]:
                     return sorted(names)
             except Exception:
                 continue
-    return list(FALLBACK_VOICES)
+    return builtin_catalog()
 
 
 def synthesize(text: str, voice: str = "en-US-AriaNeural",

@@ -36,6 +36,7 @@ class RVCTrainer:
         seed: int = 1234,
         use_overtraining_detector: bool = False,
         overtraining_threshold: int = 50,
+        overtraining_patience: int = 10,
         mesh=None,
         freeze_encoder: bool = False,
         save_only_latest: bool = False,
@@ -63,7 +64,8 @@ class RVCTrainer:
         self._steps_per_epoch = steps_per_epoch
         self._step_fns = {}
         self.freeze_encoder = freeze_encoder
-        self.detector = (OvertrainingDetector(threshold=overtraining_threshold)
+        self.detector = (OvertrainingDetector(threshold=overtraining_threshold,
+                                              patience=overtraining_patience)
                          if use_overtraining_detector else None)
         self.eval_batch = None  # set to a Batch to render reference audio
         self.epoch = 0
