@@ -532,6 +532,9 @@ def main(argv=None):
                             "japanese-hubert-base", "korean-hubert-base",
                             "custom"])
     p.add_argument("--embedder_model_custom", default=None)
+    p.add_argument("--gpu", default=None,
+                   help="accepted for reference-CLI compat; devices come "
+                        "from JAX (ignored)")
     p.add_argument("--logs_dir", default="logs")
     p.set_defaults(fn=cmd_extract)
 
@@ -613,6 +616,9 @@ def main(argv=None):
                    help="RefineGAN pretrains")
     p.add_argument("--embedders", action="store_true",
                    help="language-specialized HuBERT embedders")
+    p.add_argument("--exe", action="store_true",
+                   help="accepted for reference-CLI compat (Windows "
+                        "ffmpeg executables; n/a here — ignored)")
     p.set_defaults(fn=cmd_prerequisites)
 
     p = sub.add_parser(
