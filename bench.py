@@ -33,9 +33,17 @@ def synth_speech_like(duration_s: float, sr: int = 16000, seed: int = 0) -> np.n
 
 
 def main():
+    import os
+
     from rvc_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
+    # serving configuration: split the clip at a min-energy point so the
+    # second chunk's compute overlaps the first chunk's D2H + link
+    # overhead (measured 154.6 -> 131.2 ms on the 13.5 s clip,
+    # scripts/profile_chunk_pipeline.py; waveform-equivalence tested in
+    # tests/unit/test_edge_cases.py::test_chunk_s_env_pipelined_split)
+    os.environ.setdefault("RVC_TPU_CHUNK_S", "6.75")
 
     from rvc_tpu.api import RVC
     from rvc_tpu.configs import get_config

@@ -80,6 +80,12 @@ class BatchConverter:
                 synth_vars = _cast_float_tree(synth_vars, compute_dtype)
                 hubert_vars = _cast_float_tree(hubert_vars, compute_dtype)
             feats = hubert.apply(hubert_vars, audio, output_hidden_states=True)
+            # edge-replicate features so the x2 grid covers every 10 ms
+            # frame (same grid-coverage fix as pipelines/offline.py)
+            hub_pad = (p_len0 + 1) // 2 - feats.shape[1]
+            if hub_pad > 0:
+                feats = jnp.pad(feats, ((0, 0), (0, hub_pad), (0, 0)),
+                                mode="edge")
             t_feat = feats.shape[1] * 2
             if p_len0 >= t_feat:
                 f0 = f0[:, :t_feat]

@@ -290,6 +290,18 @@ class Pipeline:
                 feats = index_blend(feats[0], vectors[i], d,
                                     index_rate)[None].astype(compute_dtype)
 
+            # the x2-upsampled HuBERT grid falls up to 2 frames short of
+            # the 10 ms frame count (conv valid-window shortfall at the
+            # padded tail); edge-replicate features so every frame is
+            # covered — the extras land inside the trimmed pad context,
+            # but without them the final chunk's output silently loses
+            # its last real frames
+            hub_pad = (p_len0 + 1) // 2 - feats.shape[1]
+            if hub_pad > 0:
+                feats = jnp.pad(feats, ((0, 0), (0, hub_pad), (0, 0)),
+                                mode="edge")
+                feats_raw = jnp.pad(feats_raw, ((0, 0), (0, hub_pad), (0, 0)),
+                                    mode="edge")
             t_feat = feats.shape[1] * 2
             if p_len0 >= t_feat:
                 f0 = f0[:, :t_feat]
@@ -463,9 +475,9 @@ class Pipeline:
                 mode="reflect" if n_pad - n < n else "constant").astype(in_dtype))[None]
 
         use_index = index is not None and index_rate > 0
-        # true frame count of the unpadded chunk, capped at the feature grid
-        hub_frames = (n_pad - 400) // 320 + 1
-        p_len = min(n // self.window, 2 * hub_frames)
+        # true frame count of the unpadded chunk (the program edge-pads
+        # the feature grid to cover it, so no cap is needed)
+        p_len = n // self.window
         p_len_j = self._dev_scalar("p_len", p_len, np.int32)
         sid_j = self._dev_scalar("sid", sid, np.int32)
         # scalars ship as committed 0-d device arrays (cached) instead of
@@ -632,7 +644,15 @@ class Pipeline:
             blended = index_blend(q, neighbors, d, index_rate)
             feats = blended[None]
 
-        p_len = min(n // self.window, feats.shape[1] * 2)
+        p_len = n // self.window
+        # edge-replicate features so the x2 grid covers every 10 ms
+        # frame (same fix as the fused program: the conv valid-window
+        # shortfall otherwise drops the chunk's last 1-2 real frames)
+        hub_pad = (p_len + 1) // 2 - feats.shape[1]
+        if hub_pad > 0:
+            feats = jnp.pad(feats, ((0, 0), (0, hub_pad), (0, 0)), mode="edge")
+            feats_raw = jnp.pad(feats_raw, ((0, 0), (0, hub_pad), (0, 0)),
+                                mode="edge")
         t_feat = feats.shape[1] * 2  # static padded length
 
         use_f0 = pitch is not None and pitchf is not None
@@ -659,15 +679,34 @@ class Pipeline:
     # ------------------------------------------------------------------
     def _find_split_points(self, audio: np.ndarray) -> list:
         """Minimum-|moving-average| split points every ~x_center seconds
-        (`rvc/infer/pipeline.py:441-454`)."""
-        if len(audio) <= self.t_max:
+        (`rvc/infer/pipeline.py:441-454`).
+
+        RVC_TPU_CHUNK_S=<seconds> shrinks the chunk target below the
+        reference's 38 s so the deferred-fetch pipeline overlaps each
+        chunk's D2H transfer with the next chunk's compute (each chunk
+        still carries x_pad seconds of real context per side, so outputs
+        concatenate seamlessly — same mechanism the reference uses for
+        long audio, applied at a finer grain for link-latency hiding)."""
+        import os as _os
+
+        t_center, t_max, t_query = self.t_center, self.t_max, self.t_query
+        end = len(audio)
+        chunk_s = float(_os.environ.get("RVC_TPU_CHUNK_S", "0") or 0)
+        if chunk_s > 0:
+            t_center = int(chunk_s * SAMPLE_RATE)
+            t_max = t_center + t_center // 2
+            end = len(audio) - t_center // 2  # no sliver final chunk
+            # tight query window: chunk sizes stay near the target so
+            # they bucket to at most a couple of compiled shapes
+            t_query = min(t_query, t_center // 4)
+        if len(audio) <= t_max:
             return []
         kernel = np.ones(self.window) / self.window
         smooth = np.convolve(np.abs(audio), kernel, mode="same")
         pts = []
-        for center in range(self.t_center, len(audio), self.t_center):
-            lo = max(center - self.t_query, 0)
-            hi = min(center + self.t_query, len(audio))
+        for center in range(t_center, end, t_center):
+            lo = max(center - t_query, 0)
+            hi = min(center + t_query, len(audio))
             seg = smooth[lo:hi]
             pts.append(lo + int(np.argmin(seg)))
         return pts

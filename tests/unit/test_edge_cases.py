@@ -132,3 +132,46 @@ def test_audio_utils_degenerate():
     out = change_rms(np.ones(1600, np.float32), SR,
                      np.zeros(3200, np.float32), 32000, 1.0)
     assert np.isfinite(out).all()
+
+
+def test_chunk_s_env_pipelined_split(rvc, monkeypatch):
+    """RVC_TPU_CHUNK_S forces fine-grained chunks (fetch/compute
+    overlap on the tunneled link); output must reassemble to the same
+    waveform as the single pass within the phase-restart tolerance of
+    test_long_audio_chunking."""
+    t = np.arange(5 * SR) / SR
+    audio = (0.4 * np.sin(2 * np.pi * 180 * t)
+             * (0.6 + 0.4 * np.sin(2 * np.pi * 0.7 * t))).astype(np.float32)
+    f0 = np.full(len(audio) // 160 + 1, 180.0, dtype=np.float32)
+
+    whole = rvc.infer(audio, input_f0=f0, index_rate=0.0)
+
+    monkeypatch.setenv("RVC_TPU_CHUNK_S", "2.0")
+    pts = rvc.pipeline._find_split_points(audio)
+    assert len(pts) >= 1  # the 5 s clip actually splits
+    chunked = rvc.infer(audio, input_f0=f0, index_rate=0.0)
+
+    assert np.isfinite(chunked).all()
+    assert len(chunked) == len(whole)
+
+    def corr(a, b):
+        return np.corrcoef(a.astype(np.float64), b.astype(np.float64))[0, 1]
+
+    assert corr(chunked, whole) > 0.85
+    assert corr(chunked[:48000], whole[:48000]) > 0.9
+
+
+def test_output_length_exact_at_bucket_boundary(rvc):
+    """With near-exact bucket padding (slack < 320 samples) the HuBERT
+    x2 grid used to cap p_len and silently drop the final 10 ms frames
+    of a chunk (the reference has the same truncation,
+    `rvc/infer/pipeline.py` p_len = min(.., feats*2)); the feature grid
+    is now edge-padded so output length is exactly n//160 frames."""
+    p = rvc.pipeline
+    b = p.config.frame_bucket * p.window
+    spf = p.tgt_sr // 100
+    for n in (b, b - 160, 2 * b):  # slack 0 / 160 / 0 after bucketing
+        t = np.arange(n) / 16000
+        chunk = (0.3 * np.sin(2 * np.pi * 150 * t)).astype(np.float32)
+        out = p.fused_convert(chunk, 0, 0.0, 0.0, 0.5, None, 0.0)
+        assert len(out) == (n // p.window) * spf, (n, len(out))

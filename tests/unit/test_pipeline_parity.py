@@ -118,4 +118,10 @@ def test_pipeline_chain_parity(chain, sine_wave):
     # zero-key noise in ours is also zero when rng is None)
     corr = np.corrcoef(ours[:n], ref[:n])[0, 1]
     assert corr > 0.995, f"pipeline chain corr {corr:.4f}"
-    np.testing.assert_allclose(ours[:n], ref[:n], atol=0.02)
+    # the torch oracle (like the reference) truncates p_len to the
+    # HuBERT x2 grid and loses the final 1-2 frames; ours edge-pads the
+    # feature grid to cover them, so mask lengths differ and the last
+    # frames diverge slightly — compare the oracle-covered region
+    spf = 320  # 32 kHz oracle config, 10 ms frames
+    np.testing.assert_allclose(ours[: n - 2 * spf], ref[: n - 2 * spf],
+                               atol=0.02)
