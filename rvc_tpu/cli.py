@@ -441,6 +441,38 @@ def cmd_prerequisites(args):
                            embedders=args.embedders)
 
 
+def cmd_serve(args):
+    """Start a realtime conversion server (websocket speaking the
+    reference ws-audio client protocol, or the length-prefixed TCP
+    protocol)."""
+    from rvc_tpu.api import RVC
+
+    rvc = RVC(model_path=args.model_path, hubert_path=args.hubert_path,
+              index_path=args.index_path,
+              embedder_model=args.embedder_model,
+              embedder_model_custom=args.embedder_model_custom)
+    if args.protocol == "ws":
+        from rvc_tpu.realtime.server import RealtimeWebSocketServer
+
+        server = RealtimeWebSocketServer(rvc=rvc, host=args.host,
+                                         port=args.port)
+    else:
+        from rvc_tpu.realtime.core import VoiceChanger
+        from rvc_tpu.realtime.server import RealtimeSocketServer
+
+        vc = VoiceChanger(rvc, read_chunk_size=args.chunk_size,
+                          f0_method=args.f0_method, sid=args.sid)
+        server = RealtimeSocketServer(vc, host=args.host, port=args.port)
+    print(f"serving {args.protocol} on {args.host}:{args.port} "
+          f"(ctrl-c to stop)")
+    import asyncio
+
+    try:
+        asyncio.run(server.serve())
+    except KeyboardInterrupt:
+        print("stopped")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser("rvc-tpu", description=__doc__)
     # JAX_PLATFORMS in the environment is too late on images whose
@@ -620,6 +652,26 @@ def main(argv=None):
                    help="accepted for reference-CLI compat (Windows "
                         "ffmpeg executables; n/a here — ignored)")
     p.set_defaults(fn=cmd_prerequisites)
+
+    p = sub.add_parser(
+        "serve",
+        help="realtime conversion server (ws-audio or TCP protocol)")
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--index_path", default=None)
+    p.add_argument("--hubert_path", default=None)
+    p.add_argument("--embedder_model", default="contentvec",
+                   choices=["contentvec", "chinese-hubert-base",
+                            "japanese-hubert-base", "korean-hubert-base",
+                            "custom"])
+    p.add_argument("--embedder_model_custom", default=None)
+    p.add_argument("--protocol", default="ws", choices=["ws", "tcp"])
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=6006)
+    p.add_argument("--chunk_size", type=int, default=192,
+                   help="TCP protocol block size (x128 samples @48 kHz)")
+    p.add_argument("--f0_method", default="rmvpe", type=_f0_method)
+    p.add_argument("--sid", type=int, default=0)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(
         "tensorboard",

@@ -92,3 +92,22 @@ def test_tts_builtin_catalog_full():
     assert len(v) == 322
     assert "en-US-AriaNeural" in v and "zu-ZA-ThandoNeural" in v
     assert all(x.endswith("Neural") for x in v)
+
+
+def test_serve_subcommand_parses():
+    from rvc_tpu import cli
+    import sys
+
+    # parser builds and wires cmd_serve without starting a server
+    argv = ["serve", "--model_path", "m.safetensors", "--protocol", "tcp",
+            "--port", "7000"]
+    import argparse
+    # reuse main's parser by intercepting the dispatched fn
+    called = {}
+    orig = cli.cmd_serve
+    cli.cmd_serve = lambda a: called.update(vars(a))
+    try:
+        cli.main(argv)
+    finally:
+        cli.cmd_serve = orig
+    assert called["protocol"] == "tcp" and called["port"] == 7000
