@@ -750,6 +750,15 @@ class Pipeline:
             bounds.append((prev, len(audio)))
 
         audio_pad_full = np.pad(audio, (t_pad, t_pad), mode="reflect")
+        # user f0 curve: index 0 aligns with ORIGINAL frame 0; pad it to
+        # the padded-audio frame grid once so each chunk slices its own
+        # window (covers the t_pad context shift and multi-chunk offsets)
+        input_f0_pad = None
+        if input_f0 is not None:
+            pw = t_pad // self.window
+            input_f0_pad = np.pad(
+                np.asarray(input_f0, dtype=np.float32), (pw, pw),
+                mode="edge")
         # fused single-program fast path: RMVPE pitch guidance without a
         # user-supplied f0 curve (everything else uses the staged path)
         fused_ok = (pitch_guidance and f0_method == "rmvpe"
@@ -770,11 +779,15 @@ class Pipeline:
                         trim_frames=t_pad // self.window))
             else:
                 p_len = len(chunk) // self.window
+                chunk_f0 = None
+                if input_f0_pad is not None:
+                    chunk_f0 = input_f0_pad[
+                        s // self.window : (e + 2 * t_pad) // self.window]
                 if pitch_guidance:
                     with trace_span("host/get_f0"):
                         pitch, pitchf = self.get_f0(
                             chunk, p_len, f0_method, pitch_shift,
-                            f0_autotune, f0_autotune_strength, input_f0,
+                            f0_autotune, f0_autotune_strength, chunk_f0,
                             proposed_pitch, proposed_pitch_threshold,
                             f0_hop_length)
                 else:

@@ -175,3 +175,39 @@ def test_output_length_exact_at_bucket_boundary(rvc):
         chunk = (0.3 * np.sin(2 * np.pi * 150 * t)).astype(np.float32)
         out = p.fused_convert(chunk, 0, 0.0, 0.0, 0.5, None, 0.0)
         assert len(out) == (n // p.window) * spf, (n, len(out))
+
+
+def test_input_f0_chunk_alignment(rvc, monkeypatch):
+    """A user f0 curve (index 0 = audio frame 0) must land on the right
+    frames in every chunk: chunk i consumes the padded-curve slice at
+    its own offset, not the start of the curve."""
+    p = rvc.pipeline
+    n = 5 * SR
+    t = np.arange(n) / SR
+    audio = (0.4 * np.sin(2 * np.pi * 180 * t)).astype(np.float32)
+    curve = np.linspace(100.0, 300.0, n // 160 + 1).astype(np.float32)
+
+    captured = []
+    orig = p.voice_conversion
+
+    def spy(audio0, pitch, pitchf, *a, **k):
+        captured.append(None if pitchf is None else pitchf.copy())
+        return orig(audio0, pitch, pitchf, *a, **k)
+
+    monkeypatch.setattr(p, "voice_conversion", spy)
+    monkeypatch.setenv("RVC_TPU_CHUNK_S", "2.0")
+    rvc.infer(audio, input_f0=curve, index_rate=0.0)
+    assert len(captured) >= 2
+
+    pw = p.t_pad // p.window
+    padded = np.pad(curve, (pw, pw), mode="edge")
+    from rvc_tpu.utils.audio import highpass_filter
+
+    a = highpass_filter(audio, 16000, 48.0, 5)
+    pts = [(x // p.window) * p.window for x in p._find_split_points(a)]
+    bounds = list(zip([0] + pts, pts + [n]))
+    assert len(bounds) == len(captured)
+    for (s, e), pf in zip(bounds, captured):
+        expect = padded[s // 160 : (e + 2 * p.t_pad) // 160]
+        m = min(len(expect), len(pf))
+        np.testing.assert_allclose(pf[:m], expect[:m], rtol=1e-6)
