@@ -149,16 +149,19 @@ class CREPE:
         f0, per = decode_probabilities(probs, f0_min, f0_max)
         per = _median_filter3(per)
         f0 = _mean_filter3(f0)
-        f0 = jnp.where(per < threshold, 0.0, f0)
-        f0, per = np.asarray(f0), np.asarray(per)
+        f0_raw, per = np.asarray(f0), np.asarray(per)
+        f0 = np.where(per < threshold, 0.0, f0_raw).astype(np.float32)
         if hop != HOP_SIZE:
             # resample the analysis-hop track onto the pipeline's 10 ms
             # frame grid (the reference interpolates torchcrepe's
-            # hop_length output to p_len the same way)
-            t_src = np.arange(len(f0)) * hop
+            # hop_length output to p_len the same way). Interpolate the
+            # PRE-gating pitch: interpolating zeroed frames would drag
+            # voicing-boundary frames toward spurious sub-pitch glides
+            # while their interpolated periodicity still passes the gate
+            t_src = np.arange(len(f0_raw)) * hop
             t_dst = np.arange(n_samples // HOP_SIZE + 1) * HOP_SIZE
             per_i = np.interp(t_dst, t_src, per)
-            f0 = np.interp(t_dst, t_src, f0)
+            f0 = np.interp(t_dst, t_src, f0_raw)
             f0 = np.where(per_i < threshold, 0.0, f0).astype(np.float32)
             per = per_i.astype(np.float32)
         if return_periodicity:

@@ -115,7 +115,10 @@ class DiscriminatorR(nn.Module):
         return h.reshape(h.shape[0], -1), fmap
 
 
-MRD_RESOLUTIONS = ((1024, 120, 600), (2048, 240, 1200), (4096, 480, 2400))
+# (n_fft, hop, win) per reference v3 (`rvc/lib/algorithm/
+# discriminators.py:40`): 1024/2048/512 — NOT 4096; the stock v3
+# discriminator pretrains carry a 512-FFT third bank
+MRD_RESOLUTIONS = ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240))
 
 
 class MultiPeriodDiscriminator(nn.Module):

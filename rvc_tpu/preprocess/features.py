@@ -52,6 +52,7 @@ class FeatureExtractor:
             hubert = HubertModel(HubertConfig())
             if hubert_path and os.path.exists(hubert_path):
                 from rvc_tpu.utils import weights as W
+                from rvc_tpu.utils.init_utils import to_default_device
 
                 if hubert_path.endswith(".safetensors"):
                     hp = W.load_params(hubert_path)
@@ -59,7 +60,9 @@ class FeatureExtractor:
                     sd = W.load_torch_checkpoint(hubert_path)
                     sd.pop("__meta__", None)
                     hp = W.convert_hubert_state_dict(sd)
-                hubert_variables = {"params": hp}
+                # commit to device once — numpy leaves re-upload the
+                # whole tree on every jitted call (CLAUDE.md)
+                hubert_variables = to_default_device({"params": hp})
             else:
                 hubert_variables = hubert.init(jax.random.PRNGKey(0),
                                                jnp.zeros((1, 1600)))

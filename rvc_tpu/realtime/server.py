@@ -136,11 +136,15 @@ class RealtimeWebSocketServer:
         self._loop = None
 
     def _ensure_vc(self, params: dict):
+        # an injected VoiceChanger is shared (caller owns it); otherwise
+        # each connection gets its OWN engine — sessions carry SOLA and
+        # pitch state plus buffers sized to the client's chunk_size, so
+        # reusing one across connections corrupts both streams
         if self.vc is not None:
             return self.vc
         from rvc_tpu.realtime.core import VoiceChanger
 
-        self.vc = VoiceChanger(
+        return VoiceChanger(
             self.rvc,
             read_chunk_size=int(params.get("chunk_size", 192)),
             cross_fade_overlap_size=float(
@@ -153,7 +157,6 @@ class RealtimeWebSocketServer:
             post_process=bool(params.get("post_process", False)),
             **params.get("kwargs", {}),
         )
-        return self.vc
 
     async def _handle(self, ws):
         import json
@@ -187,8 +190,18 @@ class RealtimeWebSocketServer:
                 await ws.send(json.dumps({"type": "latency",
                                           "value": perf[1]}))
                 await ws.send(out.astype("<f4").tobytes())
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001 — per-connection isolation
+            # tell the client WHY instead of leaving it waiting for a
+            # reply that never comes, and surface the error server-side
+            import sys
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            try:
+                await ws.send(json.dumps({"type": "error", "value": str(e)}))
+                await ws.close(code=1011, reason=str(e)[:100])
+            except Exception:
+                pass
 
     async def serve(self):
         import websockets

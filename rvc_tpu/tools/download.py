@@ -74,10 +74,29 @@ def gdrive_file_id(url: str) -> Optional[str]:
     return None
 
 
+def _disposition_filename(headers) -> Optional[str]:
+    cd = headers.get("Content-Disposition", "") or ""
+    m = re.search(r"filename\*=UTF-8''([^;]+)", cd) or \
+        re.search(r'filename="?([^";]+)"?', cd)
+    if m:
+        from urllib.parse import unquote
+
+        name = os.path.basename(unquote(m.group(1)).strip())
+        return name or None
+    return None
+
+
 def download_gdrive(file_id: str, dest: str) -> str:
     """gdown-equivalent Google Drive fetch: follow the virus-scan
     confirm flow for large files (`rvc_mlx/lib/tools/model_download.py:
-    37-126` vendors gdown for the same purpose)."""
+    37-126` vendors gdown for the same purpose).
+
+    `dest` may be a DIRECTORY — the real filename then comes from the
+    Content-Disposition header (models shared on Drive are .pth/.zip/
+    .index; a made-up extension would leave them unloadable). Streams
+    to disk in 1 MB chunks (checkpoints run to GBs — never buffer the
+    body in memory). Returns the written path.
+    """
     import http.cookiejar
 
     jar = http.cookiejar.CookieJar()
@@ -85,28 +104,35 @@ def download_gdrive(file_id: str, dest: str) -> str:
         urllib.request.HTTPCookieProcessor(jar))
     opener.addheaders = [("User-Agent", "rvc-tpu")]
     url = f"https://drive.google.com/uc?export=download&id={file_id}"
+
+    def stream_to_dest(r) -> str:
+        out = dest
+        if os.path.isdir(dest) or dest.endswith(os.sep):
+            name = _disposition_filename(r.headers) or f"gdrive_{file_id}"
+            out = os.path.join(dest, name)
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        with open(out, "wb") as f:
+            while chunk := r.read(1 << 20):
+                f.write(chunk)
+        return out
+
     try:
         with opener.open(url) as r:
-            data = r.read()
             ctype = r.headers.get("Content-Type", "")
-        if "text/html" in ctype:
-            html = data.decode("utf-8", "replace")
-            # large files: resubmit the confirm form on drive.usercontent
-            m = re.search(r'action="([^"]+)"', html)
-            fields = dict(re.findall(
-                r'name="([^"]+)"\s+value="([^"]*)"', html))
-            if m and fields:
-                from urllib.parse import urlencode
+            if "text/html" not in ctype:
+                return stream_to_dest(r)
+            html = r.read().decode("utf-8", "replace")
+        # large files: resubmit the confirm form on drive.usercontent
+        m = re.search(r'action="([^"]+)"', html)
+        fields = dict(re.findall(
+            r'name="([^"]+)"\s+value="([^"]*)"', html))
+        if not (m and fields):
+            raise RuntimeError("Google Drive did not serve the file "
+                               "(quota exceeded or permission denied)")
+        from urllib.parse import urlencode
 
-                with opener.open(f"{m.group(1)}?{urlencode(fields)}") as r2:
-                    data = r2.read()
-            else:
-                raise RuntimeError("Google Drive did not serve the file "
-                                   "(quota exceeded or permission denied)")
-        os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
-        with open(dest, "wb") as f:
-            f.write(data)
-        return dest
+        with opener.open(f"{m.group(1)}?{urlencode(fields)}") as r2:
+            return stream_to_dest(r2)
     except RuntimeError:
         raise
     except Exception as e:
@@ -129,8 +155,8 @@ def download_model(link: str, output_dir: str = "models") -> str:
     os.makedirs(output_dir, exist_ok=True)
     fid = gdrive_file_id(link)
     if fid:
-        dest = os.path.join(output_dir, f"gdrive_{fid}.zip")
-        download_gdrive(fid, dest)
+        # real filename comes from the response headers
+        dest = download_gdrive(fid, output_dir + os.sep)
     else:
         link = normalize_link(link)
         name = link.rstrip("/").split("/")[-1].split("?")[0] or "model.zip"

@@ -106,6 +106,29 @@ class DataLoader:
             if n is None:
                 n = BUCKET_BOUNDARIES[-1]
             buckets.setdefault(_bucket_of(n), []).append(i)
+
+        if self.num_hosts > 1:
+            # multi-host: every global step must see (a) one batch on
+            # EVERY host (equal step counts — a leftover batch on one
+            # host would hang the others in the step's collectives) and
+            # (b) the same padded shape on every host (the per-process
+            # shards of jax.make_array_from_process_local_data must
+            # agree). Group num_hosts full batches from the SAME bucket
+            # into one step; host h takes member h of each step.
+            steps: List[List[List[int]]] = []
+            for b, idxs in sorted(buckets.items()):
+                if self.shuffle:
+                    rng.shuffle(idxs)
+                full = [idxs[j : j + self.batch_size]
+                        for j in range(0, len(idxs) - self.batch_size + 1,
+                                       self.batch_size)]
+                for j in range(0, len(full) - self.num_hosts + 1,
+                               self.num_hosts):
+                    steps.append(full[j : j + self.num_hosts])
+            if self.shuffle:
+                rng.shuffle(steps)
+            return [step[self.host_id] for step in steps]
+
         batches = []
         for b, idxs in sorted(buckets.items()):
             if self.shuffle:
@@ -116,20 +139,40 @@ class DataLoader:
                     batches.append(group)
         if self.shuffle:
             rng.shuffle(batches)
-        # host shard: consecutive batches form one global step across
-        # hosts (host h supplies global rows [h*B, (h+1)*B) of the step)
-        return batches[self.host_id :: self.num_hosts]
+        return batches
 
     def __iter__(self) -> Iterator[Batch]:
         import jax.numpy as jnp
 
         for group in self._batches_indices():
             samples = [self.dataset[i] for i in group]
-            samples = [s for s in samples if s is not None]
-            if not samples:
-                continue
-            B = len(samples)
-            T = _bucket_of(max(s["length"] for s in samples))
+            if self.num_hosts > 1:
+                # cross-host shape consistency: B and T must not depend
+                # on which samples loaded cleanly on THIS host. Corrupt
+                # rows are replaced by a clone of a good one (or a
+                # silent sample if the whole batch is corrupt) and T is
+                # the group's bucket boundary from row metadata.
+                good = [s for s in samples if s is not None]
+                if not good:
+                    # an entirely-corrupt batch cannot be skipped on one
+                    # host only (the others would hang in the step's
+                    # collectives) — fail loudly instead
+                    raise RuntimeError(
+                        f"all {len(group)} samples in a batch failed to "
+                        f"load on host {self.host_id}; clean the dataset "
+                        f"(rows {group})")
+                samples = [s if s is not None else dict(good[0])
+                           for s in samples]
+                B = len(samples)
+                T = _bucket_of(max(
+                    self.dataset.rows[i].get("n_frames")
+                    or BUCKET_BOUNDARIES[-1] for i in group))
+            else:
+                samples = [s for s in samples if s is not None]
+                if not samples:
+                    continue
+                B = len(samples)
+                T = _bucket_of(max(s["length"] for s in samples))
             F = samples[0]["spec"].shape[1]
             hop = self.dataset.hop_length
 

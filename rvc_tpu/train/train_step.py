@@ -65,10 +65,13 @@ def sanitize_grads(grads, clip_value: float = 1e3):
 
 def build_discriminator(cfg: RVCConfig) -> MultiPeriodDiscriminator:
     """Vocoder-conditioned discriminator selection: RefineGAN training
-    uses the v3 discriminator (MPD + multi-resolution DiscriminatorR
-    bank), everything else the v2 MPD (`rvc/train/train.py:71-75`)."""
-    return MultiPeriodDiscriminator(
-        use_multi_resolution=(cfg.model.vocoder == "RefineGAN"))
+    uses the v3 discriminator (5-period MPD + multi-resolution
+    DiscriminatorR bank, `rvc/lib/algorithm/discriminators.py:38-40`),
+    everything else the v2 MPD (`rvc/train/train.py:71-75`)."""
+    if cfg.model.vocoder == "RefineGAN":
+        return MultiPeriodDiscriminator(periods=(2, 3, 5, 7, 11),
+                                        use_multi_resolution=True)
+    return MultiPeriodDiscriminator()
 
 
 def make_optimizers(cfg: RVCConfig, steps_per_epoch: int = 100):

@@ -150,13 +150,32 @@ class RVCTrainer:
         """Load pretrained G/D from torch .pth or native safetensors,
         merging over the initialized trees (missing keys keep init)."""
 
+        stats = {"matched": 0, "total": 0}
+
         def merge(dst, src):
             for k, v in src.items():
                 if isinstance(v, dict) and isinstance(dst.get(k), dict):
                     merge(dst[k], v)
-                elif k in dst and hasattr(dst[k], "shape") and tuple(dst[k].shape) == tuple(np.shape(v)):
-                    dst[k] = jax.numpy.asarray(v)
+                else:
+                    stats["total"] += 1
+                    if (k in dst and hasattr(dst[k], "shape")
+                            and tuple(dst[k].shape) == tuple(np.shape(v))):
+                        dst[k] = jax.numpy.asarray(v)
+                        stats["matched"] += 1
             return dst
+
+        def check_coverage(what, path):
+            # a silent near-zero merge means the pretrain does not match
+            # this architecture (e.g. NSF HiFi-GAN weights into an MRF
+            # decoder) — the model would train from random init while
+            # the user believes they are finetuning
+            if stats["total"] and stats["matched"] < stats["total"] // 2:
+                raise ValueError(
+                    f"pretrained {what} {path!r} matched only "
+                    f"{stats['matched']}/{stats['total']} tensors of this "
+                    f"model — wrong architecture/vocoder for these "
+                    f"weights (pass matching pretrains or drop the flag)")
+            stats["matched"] = stats["total"] = 0
 
         if g_path and os.path.exists(g_path):
             if g_path.endswith(".safetensors"):
@@ -165,16 +184,30 @@ class RVCTrainer:
                 sd = W.load_torch_checkpoint(g_path)
                 sd.pop("__meta__", None)
                 tree = W.convert_synthesizer_state_dict(sd)
-            g_params = jax.tree.map(lambda x: x, self.state.g_params)  # copy
-            g_params = merge(jax.device_get(g_params), tree)
+            g_params = jax.device_get(
+                jax.tree.map(lambda x: x, self.state.g_params))  # copy
+            # per-module coverage: a wrong-vocoder pretrain still matches
+            # enc_p/flow, so a whole-tree ratio would hide a fully
+            # unmatched decoder
+            for mod, sub in tree.items():
+                if isinstance(sub, dict) and isinstance(g_params.get(mod), dict):
+                    merge(g_params[mod], sub)
+                else:
+                    merge(g_params, {mod: sub})
+                check_coverage(f"generator {mod!r}", g_path)
             self.state = self.state._replace(g_params=g_params)
             self._state_sharded = False
         if d_path and os.path.exists(d_path):
             if d_path.endswith(".safetensors"):
                 tree = W.load_params(d_path)
-                d_params = merge(jax.device_get(self.state.d_params), tree)
-                self.state = self.state._replace(d_params=d_params)
-                self._state_sharded = False
+            else:
+                sd = W.load_torch_checkpoint(d_path)
+                sd.pop("__meta__", None)
+                tree = W.convert_discriminator_state_dict(sd)
+            d_params = merge(jax.device_get(self.state.d_params), tree)
+            check_coverage("discriminator", d_path)
+            self.state = self.state._replace(d_params=d_params)
+            self._state_sharded = False
 
     # ------------------------------------------------------------------
     def _host_tree(self, tree):

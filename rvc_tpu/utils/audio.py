@@ -175,6 +175,7 @@ def encode_audio(audio: np.ndarray, sr: int, base_path: str,
     """
     fmt = export_format.upper()
     path = base_path + "." + fmt.lower()
+    sf_err = None
     try:
         import soundfile as sf
 
@@ -183,7 +184,10 @@ def encode_audio(audio: np.ndarray, sr: int, base_path: str,
     except ImportError:
         pass
     except Exception as e:
-        raise RuntimeError(f"soundfile failed to encode {fmt}: {e}") from e
+        # libsndfile cannot encode every allowed format (M4A/AAC never,
+        # MP3 only in recent builds) — fall through to ffmpeg, the
+        # reference's encoder, before giving up
+        sf_err = e
     import shutil
     import subprocess
     import tempfile
@@ -199,7 +203,9 @@ def encode_audio(audio: np.ndarray, sr: int, base_path: str,
             return path
         finally:
             os.unlink(tmp)
+    detail = f" (soundfile: {sf_err})" if sf_err else ""
     raise RuntimeError(
-        f"cannot export {fmt}: neither the soundfile package nor an "
-        f"ffmpeg binary is available in this environment. Install one of "
-        f"them, or use --export_format WAV.")
+        f"cannot export {fmt}: no working encoder — soundfile "
+        f"{'failed' if sf_err else 'is not installed'} and no ffmpeg "
+        f"binary is available{detail}. Install one of them, or use "
+        f"--export_format WAV.")

@@ -671,3 +671,55 @@ def export_pth(
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     torch.save(opt, path)
     return path
+
+
+def convert_discriminator_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """Torch MultiPeriodDiscriminator state dict -> our flax tree.
+
+    Handles all three reference layouts
+    (`rvc/lib/algorithm/discriminators.py:25-50`): discriminators.0 is
+    DiscriminatorS, then DiscriminatorP per period (v1: 6, v2: 8,
+    v3: 5) and, for v3, three DiscriminatorR resolutions. P vs R is
+    told apart by kernel shape (P convs are (k, 1), R convs (3, 9)).
+    Used by `trainer.load_pretrained` for the stock f0D*.pth pretrains.
+    """
+    sd = fuse_weight_norm({k: np.asarray(v) for k, v in sd.items()})
+    by_idx: Dict[int, Dict[str, np.ndarray]] = {}
+    for k, v in sd.items():
+        m = re.match(r"discriminators\.(\d+)\.(.*)$", k)
+        if m:
+            by_idx.setdefault(int(m.group(1)), {})[m.group(2)] = v
+
+    def kind(sub):
+        w = sub.get("convs.0.weight")
+        if w is None or w.ndim == 3:
+            return "S"
+        return "P" if w.shape[-1] == 1 else "R"
+
+    kinds = {i: kind(sub) for i, sub in by_idx.items()}
+    n_p = sum(1 for t in kinds.values() if t == "P")
+    periods = {6: [2, 3, 5, 7, 11, 17],
+               8: [2, 3, 5, 7, 11, 17, 23, 37],
+               5: [2, 3, 5, 7, 11]}.get(n_p, [2, 3, 5, 7, 11, 17, 23, 37])
+    resolutions = [1024, 2048, 512]  # DiscriminatorR order (v3)
+
+    flat: Dict[str, np.ndarray] = {}
+    p_seen = r_seen = 0
+    for i in sorted(by_idx):
+        t = kinds[i]
+        if t == "S":
+            prefix, tf = "disc_s", _t_conv1d
+        elif t == "P":
+            prefix, tf = f"disc_p_{periods[p_seen]}", _t_conv2d
+            p_seen += 1
+        else:
+            prefix, tf = f"disc_r_{resolutions[r_seen]}", _t_conv2d
+            r_seen += 1
+        for k, v in by_idx[i].items():
+            k2 = re.sub(r"^convs\.(\d+)\.", r"convs_\1/", k)
+            k2 = k2.replace("conv_post.", "conv_post/").replace(".", "/")
+            v = np.asarray(v, dtype=np.float32)
+            if k2.endswith("/weight") and v.ndim >= 3:
+                v = tf(v)
+            flat[f"{prefix}/{k2}"] = v
+    return unflatten_tree(flat)

@@ -111,3 +111,33 @@ def test_serve_subcommand_parses():
     finally:
         cli.cmd_serve = orig
     assert called["protocol"] == "tcp" and called["port"] == 7000
+
+
+def test_multihost_loader_step_consistency():
+    """Multi-host batch plan: every host gets the SAME number of steps
+    and, at each step, a batch from the SAME length bucket (the sharded
+    train step's make_array_from_process_local_data requires identical
+    per-host shapes; unequal step counts hang the other hosts in the
+    epoch's last collectives)."""
+    from rvc_tpu.train.data import BUCKET_BOUNDARIES, DataLoader, RVCDataset, _bucket_of
+
+    rng = np.random.default_rng(0)
+    rows = [{"n_frames": int(rng.integers(40, 900))} for _ in range(137)]
+    ds = RVCDataset(rows, 480)
+
+    def plan(host_id):
+        dl = DataLoader(ds, batch_size=4, num_hosts=2, host_id=host_id,
+                        seed=7)
+        dl.set_epoch(3)
+        return dl._batches_indices()
+
+    p0, p1 = plan(0), plan(1)
+    assert len(p0) == len(p1) and len(p0) > 0
+    for g0, g1 in zip(p0, p1):
+        assert len(g0) == len(g1) == 4  # only full batches
+        b0 = _bucket_of(max(rows[i]["n_frames"] for i in g0))
+        b1 = _bucket_of(max(rows[i]["n_frames"] for i in g1))
+        assert b0 == b1  # same padded shape on both hosts
+    # no row is used twice in one epoch across hosts
+    used = [i for g in p0 + p1 for i in g]
+    assert len(used) == len(set(used))
