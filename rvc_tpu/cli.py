@@ -209,7 +209,8 @@ def cmd_tensorboard(args):
 def cmd_audio_analyzer(args):
     from rvc_tpu.tools.model_tools import analyze_audio
 
-    print(json.dumps(analyze_audio(args.input_path), indent=2))
+    print(json.dumps(analyze_audio(args.input_path, args.plot_path),
+                     indent=2))
 
 
 def cmd_convert(args):
@@ -273,9 +274,13 @@ def cmd_extract(args):
     # experiment metadata (reference `preparing_files.py` model_info.json)
     sids = sorted({r["sid"] for r in train_rows + val_rows})
     with open(os.path.join(exp_dir, "model_info.json"), "w") as f:
+        # --hubert_path overrides the named embedder; record what was
+        # actually used, not the (ignored) --embedder_model name
+        embedder = args.embedder_model if not args.hubert_path else "custom"
         json.dump({"speakers_id": len(sids) or 1, "sample_rate": args.sample_rate,
                    "f0_method": args.f0_method,
-                   "embedder_model": args.embedder_model,
+                   "embedder_model": embedder,
+                   "embedder_model_custom": args.hubert_path or args.embedder_model_custom,
                    "n_train": len(train_rows), "n_val": len(val_rows)}, f, indent=2)
     print(f"{n} segments extracted; {len(train_rows)} train / {len(val_rows)} val")
 
@@ -386,7 +391,14 @@ def cmd_train(args):
         final = trainer.export_inference_model(
             os.path.join(exp_dir, f"{args.model_name}.safetensors"))
         if args.index_algorithm:
-            cmd_index(args)
+            # an index-build failure (e.g. empty features dir) must not
+            # swallow the training summary of a completed run
+            try:
+                cmd_index(args)
+            except SystemExit as e:
+                print(f"warning: post-training index build failed "
+                      f"(exit {e.code}); run `rvc-tpu index` manually",
+                      file=sys.stderr)
     print(json.dumps({"epochs_run": result["epochs_run"],
                       "best_loss": result["best_loss"], "model": final,
                       "host": shard["host_id"]}))
@@ -411,14 +423,13 @@ def cmd_index(args):
     compress = algo == "KMeans" or (algo == "Auto" and len(all_feats) > 200_000)
     if compress and len(all_feats) > 256:
         # compress to <=10k centroids before indexing (reference
-        # MiniBatchKMeans branch, `rvc/train/process/extract_index.py`)
-        from rvc_tpu.retrieval.ivf import _kmeans_fit
-        import jax.numpy as jnp
+        # MiniBatchKMeans branch, `rvc/train/process/extract_index.py`);
+        # kmeans_fit bounds device memory to O(chunk*K) at this scale
+        from rvc_tpu.retrieval.ivf import kmeans_fit
 
         k = min(10_000, len(all_feats) // 4)
         init = all_feats[rng.choice(len(all_feats), k, replace=False)]
-        cents = _kmeans_fit(jnp.asarray(all_feats), jnp.asarray(init), k)
-        all_feats = np.asarray(cents)
+        all_feats = kmeans_fit(all_feats, init, k)
     idx = build_index(all_feats)
     out = os.path.join(exp_dir, f"{args.model_name}.index")
     write_faiss_index(idx, out)
@@ -460,9 +471,14 @@ def cmd_serve(args):
         from rvc_tpu.realtime.core import VoiceChanger
         from rvc_tpu.realtime.server import RealtimeSocketServer
 
-        vc = VoiceChanger(rvc, read_chunk_size=args.chunk_size,
-                          f0_method=args.f0_method, sid=args.sid)
-        server = RealtimeSocketServer(vc, host=args.host, port=args.port)
+        # per-connection engines: SOLA/pitch state is per-stream, so a
+        # shared VoiceChanger would corrupt concurrent TCP clients
+        def vc_factory():
+            return VoiceChanger(rvc, read_chunk_size=args.chunk_size,
+                                f0_method=args.f0_method, sid=args.sid)
+
+        server = RealtimeSocketServer(vc_factory=vc_factory, host=args.host,
+                                      port=args.port)
     print(f"serving {args.protocol} on {args.host}:{args.port} "
           f"(ctrl-c to stop)")
     import asyncio
@@ -510,6 +526,9 @@ def main(argv=None):
 
     p = sub.add_parser("audio_analyzer")
     p.add_argument("--input_path", required=True)
+    p.add_argument("--plot_path", default="logs/audio_analysis.png",
+                   help="3-panel analysis figure output (reference "
+                        "analyzer.py default; empty string disables)")
     p.set_defaults(fn=cmd_audio_analyzer)
 
     p = sub.add_parser("convert")

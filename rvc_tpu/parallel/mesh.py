@@ -10,6 +10,7 @@ only strategy (`rvc/train/train.py:475-478`), but scales further.
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 import jax
@@ -42,11 +43,18 @@ def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
 
 
 def _spec_for_array(x, model_size: int, min_size: int = 1 << 16) -> P:
-    """Tensor-parallel rule: shard the largest dimension divisible by the
-    model axis, if the array is big enough to be worth sharding."""
+    """Fallback tensor-parallel rule: shard the largest eligible dim
+    divisible by the model axis, if the array is big enough to be worth
+    sharding. Conv kernels (ndim >= 3, layout (..window.., C_in, C_out))
+    only ever shard a CHANNEL dim — splitting a kernel window would make
+    XLA all-gather the weights around every conv."""
     if model_size <= 1 or x.size < min_size:
         return P()
     dims = sorted(range(x.ndim), key=lambda i: -x.shape[i])
+    if x.ndim >= 3:
+        # prefer C_out over C_in so the layer is column-parallel by
+        # default (its input stays replicated)
+        dims = [d for d in (x.ndim - 1, x.ndim - 2) if d in dims]
     for d in dims:
         if x.shape[d] % model_size == 0 and x.shape[d] >= 2 * model_size:
             spec = [None] * x.ndim
@@ -55,13 +63,111 @@ def _spec_for_array(x, model_size: int, min_size: int = 1 << 16) -> P:
     return P()
 
 
-def param_shardings(params, mesh: Mesh, min_size: int = 1 << 16):
-    """Pytree of NamedShardings for a param tree under the TP rule."""
+# Semantic TP rules for the hot layers (VERDICT r2 #6): Megatron-style
+# column/row pairs so each attention / FFN block costs ONE all-reduce
+# instead of per-layer all-gathers from the shape heuristic.
+# Layouts: synthesizer rel-pos attention + FFN use Conv1d kernels
+# (K, C_in, C_out); HuBERT keeps torch Linear layout (out, in).
+_SEMANTIC_TP_RULES = (
+    # synthesizer enc_p attention: QKV split by heads (column), O row
+    (re.compile(r"(conv_q|conv_k|conv_v)/\w+$"), {3: P(None, None, "model"),
+                                                  1: P("model")}),
+    (re.compile(r"conv_o/\w+$"), {3: P(None, "model", None), 1: P()}),
+    # synthesizer FFN: hidden dim column, projection back row
+    (re.compile(r"ffn_layers_\d+/conv_1/\w+$"), {3: P(None, None, "model"),
+                                                 1: P("model")}),
+    (re.compile(r"ffn_layers_\d+/conv_2/\w+$"), {3: P(None, "model", None),
+                                                 1: P()}),
+    # HuBERT attention (torch layout): QKV column = split OUT (dim 0)
+    (re.compile(r"(q_proj|k_proj|v_proj)/\w+$"), {2: P("model", None),
+                                                  1: P("model")}),
+    (re.compile(r"out_proj/\w+$"), {2: P(None, "model"), 1: P()}),
+    # HuBERT FFN
+    (re.compile(r"intermediate_dense/\w+$"), {2: P("model", None),
+                                              1: P("model")}),
+    (re.compile(r"output_dense/\w+$"), {2: P(None, "model"), 1: P()}),
+    # decoder ResBlock pairs: convs1 column, convs2 row (one all-reduce
+    # per dilated pair; the residual add stays replicated)
+    (re.compile(r"resblocks_\d+/convs1_\d+/\w+$"), {3: P(None, None, "model"),
+                                                    1: P("model")}),
+    (re.compile(r"resblocks_\d+/convs2_\d+/\w+$"), {3: P(None, "model", None),
+                                                    1: P()}),
+)
+
+
+def _semantic_spec(path: str, x, model_size: int,
+                   min_size: int = 1 << 16) -> Optional[P]:
+    """Spec from the semantic rule table, or None to fall back."""
+    for pat, by_ndim in _SEMANTIC_TP_RULES:
+        if pat.search(path):
+            spec = by_ndim.get(x.ndim)
+            if spec is None:
+                return None
+            # the sharded dim must actually divide; tiny biases replicate
+            for d, axis in enumerate(tuple(spec) + (None,) * (x.ndim - len(spec))):
+                if axis == "model" and (x.shape[d] % model_size != 0
+                                        or x.shape[d] < 2 * model_size):
+                    return P()
+            if x.ndim == 1 and x.size < 2 * model_size:
+                return P()
+            return spec
+    return None
+
+
+def _opt_spec_for_array(x, data_size: int, model_size: int,
+                        min_size: int = 1 << 16) -> P:
+    """ZeRO-1 rule for optimizer-moment leaves: keep the param's TP spec
+    (moment shards must line up with their param's "model" sharding) and
+    additionally shard the largest remaining divisible dim over "data",
+    so per-device optimizer bytes scale ~1/n_devices instead of
+    replicating 2x-params of AdamW moments on every chip."""
+    base = _spec_for_array(x, model_size, min_size)
+    spec = list(base) + [None] * (x.ndim - len(base))
+    if data_size > 1 and x.size >= min_size:
+        dims = sorted(range(x.ndim), key=lambda i: -x.shape[i])
+        for d in dims:
+            if (spec[d] is None and x.shape[d] % data_size == 0
+                    and x.shape[d] >= 2 * data_size):
+                spec[d] = "data"
+                break
+    while spec and spec[-1] is None:
+        spec.pop()
+    return P(*spec)
+
+
+def opt_state_shardings(opt_state, mesh: Mesh, min_size: int = 1 << 16):
+    """Pytree of NamedShardings for an optax state under the ZeRO-1 rule.
+
+    Moment leaves are param-shaped, and our specs are pure functions of
+    shape, so each leaf's spec can be derived directly (scalars like the
+    Adam `count` replicate via P())."""
+    data_size = mesh.shape["data"]
     model_size = mesh.shape["model"]
     return jax.tree.map(
-        lambda x: NamedSharding(mesh, _spec_for_array(x, model_size, min_size)),
-        params,
+        lambda x: NamedSharding(
+            mesh, _opt_spec_for_array(x, data_size, model_size, min_size)
+            if hasattr(x, "ndim") and x.ndim > 0 else P()),
+        opt_state,
     )
+
+
+def param_shardings(params, mesh: Mesh, min_size: int = 1 << 16,
+                    semantic: bool = True):
+    """Pytree of NamedShardings for a param tree: the semantic rule table
+    for known hot layers (attention QKV/O, FFN, decoder ResBlocks), the
+    shape heuristic for everything else. semantic=False keeps the pure
+    heuristic (used by tests to compare compiled collective counts)."""
+    model_size = mesh.shape["model"]
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    specs = []
+    for path, x in flat:
+        p = "/".join(str(k.key) if hasattr(k, "key") else str(k)
+                     for k in path)
+        spec = _semantic_spec(p, x, model_size, min_size) if semantic else None
+        if spec is None:
+            spec = _spec_for_array(x, model_size, min_size)
+        specs.append(NamedSharding(mesh, spec))
+    return jax.tree_util.tree_unflatten(treedef, specs)
 
 
 def partition_params(params, mesh: Mesh, min_size: int = 1 << 16):

@@ -1,9 +1,10 @@
 """Sharded training: the single-chip train step under a device mesh.
 
 DP: batch tensors shard over "data"; TP: large params shard over "model"
-(via `param_shardings`); optimizer state follows its params. XLA inserts
-the gradient all-reduce (the DDP equivalent) and TP collectives from the
-sharding annotations — no hand-written psums.
+(via `param_shardings`); optimizer moments are ZeRO-1 sharded over both
+axes (`opt_state_shardings`). XLA inserts the gradient all-reduce (the
+DDP equivalent), the ZeRO-1 update all-gather, and TP collectives from
+the sharding annotations — no hand-written psums.
 """
 
 from __future__ import annotations
@@ -14,11 +15,17 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rvc_tpu.configs import RVCConfig
-from rvc_tpu.parallel.mesh import batch_sharding, param_shardings, replicate
+from rvc_tpu.parallel.mesh import (batch_sharding, opt_state_shardings,
+                                   param_shardings, replicate)
 from rvc_tpu.train.train_step import Batch, TrainState, create_train_state, make_train_step
 
 
 def shard_state(state: TrainState, mesh: Mesh, min_size: int = 1 << 16) -> TrainState:
+    """Place a TrainState on the mesh: params follow the TP rule
+    (replicated over "data", large dims split over "model") and optimizer
+    moments are ZeRO-1 sharded over BOTH axes — per-device optimizer
+    bytes scale ~1/n_devices (the reference's DDP replicates them,
+    `rvc/train/train.py:475-478`)."""
     g_sh = param_shardings(state.g_params, mesh, min_size)
     d_sh = param_shardings(state.d_params, mesh, min_size)
 
@@ -28,10 +35,36 @@ def shard_state(state: TrainState, mesh: Mesh, min_size: int = 1 << 16) -> Train
     return TrainState(
         g_params=put(state.g_params, g_sh),
         d_params=put(state.d_params, d_sh),
-        g_opt=jax.device_put(state.g_opt, replicate(mesh)),
-        d_opt=jax.device_put(state.d_opt, replicate(mesh)),
+        g_opt=put(state.g_opt, opt_state_shardings(state.g_opt, mesh, min_size)),
+        d_opt=put(state.d_opt, opt_state_shardings(state.d_opt, mesh, min_size)),
         step=jax.device_put(state.step, replicate(mesh)),
     )
+
+
+def state_bytes_per_device(state: TrainState, mesh: Mesh) -> dict:
+    """Memory accounting: global vs per-device bytes for params and
+    optimizer state under the current shardings (ZeRO-1 evidence)."""
+    def tally(tree):
+        glob = dev = 0
+        for leaf in jax.tree.leaves(tree):
+            nbytes = leaf.size * leaf.dtype.itemsize
+            glob += nbytes
+            sh = getattr(leaf, "sharding", None)
+            n_shards = 1
+            if sh is not None:
+                n_shards = max(1, len(set(
+                    tuple(idx) if isinstance(idx, tuple) else idx
+                    for idx in sh.devices_indices_map(leaf.shape).values())))
+            dev += nbytes // n_shards
+        return glob, dev
+
+    pg, pd = tally((state.g_params, state.d_params))
+    og, od = tally((state.g_opt, state.d_opt))
+    return {
+        "param_bytes_global": pg, "param_bytes_per_device": pd,
+        "opt_bytes_global": og, "opt_bytes_per_device": od,
+        "n_devices": mesh.size,
+    }
 
 
 def shard_batch(batch: Batch, mesh: Mesh) -> Batch:

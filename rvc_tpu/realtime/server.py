@@ -75,9 +75,16 @@ class RealtimeSocketServer:
     converted block is written back.
     """
 
-    def __init__(self, voice_changer, host: str = "127.0.0.1",
-                 port: int = 6006, **convert_kwargs):
+    def __init__(self, voice_changer=None, host: str = "127.0.0.1",
+                 port: int = 6006, vc_factory: Optional[Callable] = None,
+                 **convert_kwargs):
+        if voice_changer is None and vc_factory is None:
+            raise ValueError("pass a VoiceChanger or a vc_factory")
         self.vc = voice_changer
+        # vc_factory: one engine per accepted connection — SOLA crossfade
+        # and pitch buffers are per-stream state, so a shared engine
+        # corrupts concurrent clients
+        self.vc_factory = vc_factory
         self.host = host
         self.port = port
         self.convert_kwargs = convert_kwargs
@@ -85,6 +92,7 @@ class RealtimeSocketServer:
 
     async def _handle(self, reader: asyncio.StreamReader,
                       writer: asyncio.StreamWriter):
+        vc = self.vc_factory() if self.vc_factory is not None else self.vc
         try:
             while True:
                 hdr = await reader.readexactly(4)
@@ -93,7 +101,7 @@ class RealtimeSocketServer:
                     break
                 payload = await reader.readexactly(nbytes)
                 block = np.frombuffer(payload, dtype="<f4")
-                out, vol, timings = self.vc.on_request(
+                out, vol, timings = vc.on_request(
                     block.copy(), **self.convert_kwargs)
                 data = out.astype("<f4").tobytes()
                 writer.write(struct.pack("<I", len(data)) + data)

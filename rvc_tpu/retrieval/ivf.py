@@ -40,6 +40,61 @@ def _kmeans_fit(x: jax.Array, init: jax.Array, n_clusters: int, n_iters: int = 2
     return centroids
 
 
+@partial(jax.jit, static_argnames=("n_clusters", "n_iters"))
+def _kmeans_fit_chunked(x: jax.Array, mask: jax.Array, init: jax.Array,
+                        n_clusters: int, n_iters: int = 25):
+    """Memory-bounded Lloyd's: x pre-chunked to (n_chunks, C, D) with a
+    (n_chunks, C) validity mask. Each iteration scans the chunks and
+    accumulates per-cluster sums/counts, so peak memory is O(C * K)
+    instead of O(N * K) — the reference reaches for MiniBatchKMeans at
+    this scale (`extract_index.py:37-42`); full Lloyd's over chunks is
+    deterministic and just as cheap on the MXU."""
+
+    def iteration(centroids, _):
+        c_sq = jnp.sum(centroids * centroids, axis=1)
+
+        def body(carry, xc_mc):
+            sums, counts = carry
+            xc, mc = xc_mc
+            d = (jnp.sum(xc * xc, axis=1)[:, None] - 2.0 * (xc @ centroids.T)
+                 + c_sq[None, :])
+            assign = jnp.argmin(d, axis=1)
+            one_hot = jax.nn.one_hot(assign, n_clusters, dtype=x.dtype)
+            one_hot = one_hot * mc[:, None]
+            return (sums + one_hot.T @ xc, counts + one_hot.sum(axis=0)), None
+
+        (sums, counts), _ = jax.lax.scan(
+            body,
+            (jnp.zeros_like(centroids), jnp.zeros((n_clusters,), x.dtype)),
+            (x, mask))
+        new = jnp.where(counts[:, None] > 0,
+                        sums / jnp.maximum(counts[:, None], 1), centroids)
+        return new, None
+
+    centroids, _ = jax.lax.scan(iteration, init, None, length=n_iters)
+    return centroids
+
+
+def kmeans_fit(x: np.ndarray, init: np.ndarray, n_clusters: int,
+               n_iters: int = 25, chunk: int = 8192,
+               max_dense_cells: int = 1 << 27) -> np.ndarray:
+    """K-means entry point that bounds device memory: the dense one-shot
+    kernel when N*K is small, otherwise the chunked scan (O(chunk*K))."""
+    x = np.asarray(x, dtype=np.float32)
+    n = len(x)
+    if n * n_clusters <= max_dense_cells:
+        return np.asarray(_kmeans_fit(jnp.asarray(x), jnp.asarray(init),
+                                      n_clusters, n_iters))
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    xp = np.pad(x, ((0, pad), (0, 0))).reshape(n_chunks, chunk, -1)
+    mask = np.zeros((n_chunks, chunk), np.float32)
+    mask.reshape(-1)[:n] = 1.0
+    return np.asarray(_kmeans_fit_chunked(
+        jnp.asarray(xp), jnp.asarray(mask), jnp.asarray(init),
+        n_clusters, n_iters))
+
+
 @partial(jax.jit, static_argnames=("k", "nprobe"))
 def _ivf_search(
     queries: jax.Array,     # (Q, D)
@@ -147,13 +202,18 @@ class IVFFlatIndex:
         n = self.ntotal if n is None else n
         return self.vectors[start : start + n].copy()
 
-    def add(self, vectors: np.ndarray) -> None:
+    def add(self, vectors: np.ndarray, chunk: int = 65536) -> None:
         vectors = np.asarray(vectors, dtype=np.float32)
         cents = jnp.asarray(self.centroids)
-        d = (jnp.sum(jnp.asarray(vectors) ** 2, axis=1)[:, None]
-             - 2.0 * (jnp.asarray(vectors) @ cents.T)
-             + jnp.sum(cents * cents, axis=1)[None, :])
-        assign = np.asarray(jnp.argmin(d, axis=1), dtype=np.int32)
+        c_sq = jnp.sum(cents * cents, axis=1)
+        parts = []
+        # chunked assignment: O(chunk * nlist) device memory, not O(N * nlist)
+        for j in range(0, len(vectors), chunk):
+            v = jnp.asarray(vectors[j : j + chunk])
+            d = (jnp.sum(v * v, axis=1)[:, None] - 2.0 * (v @ cents.T)
+                 + c_sq[None, :])
+            parts.append(np.asarray(jnp.argmin(d, axis=1), dtype=np.int32))
+        assign = np.concatenate(parts) if parts else np.zeros((0,), np.int32)
         self.vectors = np.concatenate([self.vectors, vectors], axis=0) if self.ntotal else vectors
         self.list_ids = np.concatenate([self.list_ids, assign]) if self.list_ids.size else assign
         self._device = None
@@ -188,8 +248,7 @@ def build_index(
     if n > max_train_points:
         train = features[rng.choice(n, max_train_points, replace=False)]
     init = train[rng.choice(len(train), nlist, replace=len(train) < nlist)]
-    centroids = np.asarray(_kmeans_fit(jnp.asarray(train), jnp.asarray(init),
-                                       nlist, kmeans_iters))
+    centroids = kmeans_fit(train, init, nlist, kmeans_iters)
 
     idx = IVFFlatIndex(
         centroids=centroids,

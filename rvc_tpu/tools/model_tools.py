@@ -96,12 +96,83 @@ def convert_model(pth_path: str, out_path: Optional[str] = None) -> str:
     return out_path
 
 
-def analyze_audio(path: str) -> Dict:
+def _spectral_features(y: np.ndarray, sr: int, n_fft: int = 2048,
+                       hop: int = 512):
+    """Per-frame magnitude spectrogram + centroid/bandwidth/rolloff
+    (the reference's librosa feature set, `analyzer.py:12-24`)."""
+    n = 1 + max(len(y) - n_fft, 0) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n)[:, None]
+    frames = np.pad(y, (0, max(idx.max() + 1 - len(y), 0)))[idx]
+    mag = np.abs(np.fft.rfft(frames * np.hanning(n_fft)[None, :], axis=1))
+    freqs = np.fft.rfftfreq(n_fft, 1 / sr)
+    msum = np.maximum(mag.sum(axis=1), 1e-12)
+    cent = (mag * freqs[None, :]).sum(axis=1) / msum
+    bw = np.sqrt((mag * (freqs[None, :] - cent[:, None]) ** 2).sum(axis=1) / msum)
+    cum = np.cumsum(mag, axis=1)
+    roll_idx = np.argmax(cum >= 0.85 * cum[:, -1:], axis=1)
+    rolloff = freqs[roll_idx]
+    return mag, cent, bw, rolloff
+
+
+def save_analysis_plot(y: np.ndarray, sr: int, path: str,
+                       plot_path: str) -> Optional[str]:
+    """Reference 3-panel analysis figure (spectrogram / waveform /
+    spectral features, `rvc/lib/tools/analyzer.py:53-80`). Uses
+    matplotlib when importable; otherwise falls back to the tracker's
+    dependency-free PNG writer with the spectrogram panel."""
+    mag, cent, bw, rolloff = _spectral_features(y, sr)
+    times = np.arange(len(cent)) * 512 / sr
+    os.makedirs(os.path.dirname(plot_path) or ".", exist_ok=True)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(3, 1, figsize=(12, 10))
+        fig.suptitle(f"Audio Analysis - {os.path.basename(path)}")
+        db = 20 * np.log10(np.maximum(mag.T, 1e-8))
+        axes[0].imshow(db, origin="lower", aspect="auto",
+                       extent=[0, len(y) / sr, 0, sr / 2], cmap="viridis")
+        axes[0].set_ylabel("Hz")
+        axes[0].set_title("Spectrogram")
+        t = np.arange(len(y)) / sr
+        axes[1].plot(t, y, linewidth=0.4)
+        axes[1].set_xlim(0, len(y) / sr)
+        axes[1].set_title("Waveform")
+        axes[2].plot(times, cent, label="centroid")
+        axes[2].plot(times, bw, label="bandwidth")
+        axes[2].plot(times, rolloff, label="rolloff")
+        axes[2].set_xlim(0, len(y) / sr)
+        axes[2].set_ylabel("Hz")
+        axes[2].set_title("Spectral features")
+        axes[2].legend(loc="upper right")
+        fig.tight_layout()
+        fig.savefig(plot_path, dpi=120)
+        plt.close(fig)
+        return plot_path
+    except ImportError:
+        from rvc_tpu.monitoring.tracker import _write_png, spectrogram_image
+
+        img = spectrogram_image(20 * np.log10(np.maximum(mag, 1e-8)))
+        _write_png(plot_path, img.transpose(1, 2, 0).copy())
+        return plot_path
+    except Exception:
+        return None
+
+
+def analyze_audio(path: str, plot_path: Optional[str] = None) -> Dict:
     """Audio analyzer (reference `analyzer.py`): duration, RMS/peak dB,
-    dominant frequency, spectral stats."""
+    dominant frequency, spectral stats; optional 3-panel PNG. Loads any
+    format `load_audio` can decode (soundfile/ffmpeg fallback), native
+    sample rate for WAV."""
     from rvc_tpu.utils import audio as au
 
-    y, sr = au.load_wav(path)
+    if path.lower().endswith(".wav"):
+        y, sr = au.load_wav(path)
+    else:
+        sr = 44100
+        y = au.load_audio(path, sr)
     y = au.to_mono(y)
     rms = float(np.sqrt(np.mean(y ** 2)))
     peak = float(np.abs(y).max())
@@ -109,7 +180,7 @@ def analyze_audio(path: str) -> Dict:
     freqs = np.fft.rfftfreq(len(y), 1 / sr)
     dom = float(freqs[int(np.argmax(spec[1:])) + 1]) if len(spec) > 1 else 0.0
     centroid = float((freqs * spec).sum() / max(spec.sum(), 1e-12))
-    return {
+    info = {
         "path": path, "sample_rate": int(sr), "samples": int(len(y)),
         "duration_s": round(len(y) / sr, 3),
         "rms_db": round(20 * np.log10(max(rms, 1e-12)), 2),
@@ -117,3 +188,6 @@ def analyze_audio(path: str) -> Dict:
         "dominant_freq_hz": round(dom, 1),
         "spectral_centroid_hz": round(centroid, 1),
     }
+    if plot_path:
+        info["plot_path"] = save_analysis_plot(y, sr, path, plot_path)
+    return info

@@ -164,9 +164,14 @@ class DataLoader:
                 samples = [s if s is not None else dict(good[0])
                            for s in samples]
                 B = len(samples)
+                # only a MISSING n_frames falls back to the top bucket —
+                # `or` would also send n_frames==0 there while
+                # _batches_indices buckets 0 to the 50 boundary, a
+                # cross-host padded-shape mismatch
                 T = _bucket_of(max(
-                    self.dataset.rows[i].get("n_frames")
-                    or BUCKET_BOUNDARIES[-1] for i in group))
+                    (lambda n: n if n is not None else BUCKET_BOUNDARIES[-1])(
+                        self.dataset.rows[i].get("n_frames"))
+                    for i in group))
             else:
                 samples = [s for s in samples if s is not None]
                 if not samples:

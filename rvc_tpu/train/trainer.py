@@ -323,8 +323,9 @@ class RVCTrainer:
 
     def _ensure_sharded(self) -> None:
         """Lay the train state out over the mesh (params sharded by
-        `param_shardings`, optimizer replicated) before the first sharded
-        step; re-runs after load_pretrained/resume replaced arrays."""
+        `param_shardings`, optimizer moments ZeRO-1 sharded by
+        `opt_state_shardings`) before the first sharded step; re-runs
+        after load_pretrained/resume replaced arrays."""
         if self.mesh is None or self._state_sharded:
             return
         from rvc_tpu.parallel.train import shard_state

@@ -68,3 +68,103 @@ def test_facade_dsp_methods(sine_wave):
         f0 = PitchExtractor(m).extract(y)
         v = f0[f0 > 0]
         assert len(v) > 0 and abs(np.median(v) - 220) < 8, m
+
+
+# ---------------------------------------------------------------------------
+# Quantitative bounds on golden synthetic fixtures (VERDICT r2 #7).
+# Known-f0 harmonic signals (glide, vibrato, register extremes, voicing
+# transitions); bounds are ~2x the measured error so they catch regressions
+# without flaking. WORLD itself is absent in-env; divergence vs WORLD is
+# documented in benchmarks/RESULTS.md ("DSP pitch accuracy").
+
+SR, HOP = 16000, 160
+
+
+def _harmonic(f0_track, n_h=5):
+    ph = 2 * np.pi * np.cumsum(f0_track) / SR
+    sig = sum((0.6 / h) * np.sin(h * ph) for h in range(1, n_h + 1))
+    return (sig / np.abs(sig).max() * 0.7).astype(np.float32)
+
+
+def _cent_err(fn, f0_track, **kw):
+    y = _harmonic(f0_track)
+    f0 = fn(y, SR, **kw) if kw else fn(y, SR)
+    truth = f0_track[::HOP]
+    n = min(len(f0), len(truth))
+    f0c, tr = f0[5 : n - 5], truth[5 : n - 5]
+    v = f0c > 0
+    cents = 1200 * np.log2(f0c[v] / tr[v])
+    return v.mean(), np.abs(cents)
+
+
+@pytest.mark.parametrize("fn,p90_bound", [
+    (yin_f0, 10.0), (autocorr_f0, 35.0), (harvest_like_f0, 25.0)])
+def test_glide_cent_bounds(fn, p90_bound):
+    """Octave glide 150->300 Hz over 2 s: per-frame cent error bound."""
+    t = np.arange(int(2.0 * SR)) / SR
+    voiced_frac, cents = _cent_err(fn, 150.0 * 2 ** (t / 2.0))
+    assert voiced_frac > 0.95, fn.__name__
+    assert np.percentile(cents, 90) < p90_bound, (
+        f"{fn.__name__} glide p90={np.percentile(cents, 90):.1f}c")
+
+
+@pytest.mark.parametrize("fn,p90_bound", [
+    (yin_f0, 12.0), (autocorr_f0, 40.0), (harvest_like_f0, 40.0)])
+def test_vibrato_cent_bounds(fn, p90_bound):
+    """5 Hz +-30 cent vibrato around 220 Hz."""
+    t = np.arange(int(2.0 * SR)) / SR
+    track = 220.0 * 2 ** ((0.3 * np.sin(2 * np.pi * 5.0 * t)) / 12.0)
+    voiced_frac, cents = _cent_err(fn, track)
+    assert voiced_frac > 0.95, fn.__name__
+    assert np.percentile(cents, 90) < p90_bound, (
+        f"{fn.__name__} vibrato p90={np.percentile(cents, 90):.1f}c")
+
+
+@pytest.mark.parametrize("f0_hz", [80.0, 500.0])
+def test_register_extremes_cent_bounds(f0_hz):
+    """Low (80 Hz) and high (500 Hz) steady pitch: all three extractors
+    within 25 cents median."""
+    t = np.arange(int(1.0 * SR)) / SR
+    for fn in (yin_f0, autocorr_f0, harvest_like_f0):
+        voiced_frac, cents = _cent_err(fn, np.full_like(t, f0_hz))
+        assert voiced_frac > 0.9, (fn.__name__, f0_hz)
+        assert np.median(cents) < 25.0, (
+            f"{fn.__name__} @{f0_hz}Hz med={np.median(cents):.1f}c")
+
+
+def test_stonemask_tightens_autocorr():
+    """StoneMask-style refinement must land within 10 cents p90 where the
+    coarse autocorrelation sits at ~16 cents (the WORLD dio+stonemask
+    'pm' contract: coarse track, refined values)."""
+    t = np.arange(int(2.0 * SR)) / SR
+    track = 150.0 * 2 ** (t / 2.0)
+    y = _harmonic(track)
+    coarse = autocorr_f0(y, SR)
+    refined = stonemask_refine(y, coarse, SR)
+    truth = track[::HOP]
+    n = min(len(refined), len(truth))
+    r, tr = refined[5 : n - 5], truth[5 : n - 5]
+    v = r > 0
+    cents = np.abs(1200 * np.log2(r[v] / tr[v]))
+    assert np.percentile(cents, 90) < 10.0, np.percentile(cents, 90)
+
+
+def test_voicing_transition_bounds():
+    """Voiced/noise/voiced/silence blocks: voicing precision/recall."""
+    rng = np.random.default_rng(0)
+    seg = int(0.5 * SR)
+    y = np.concatenate([
+        _harmonic(np.full(seg, 200.0)),
+        0.05 * rng.standard_normal(seg).astype(np.float32),
+        _harmonic(np.full(seg, 300.0)),
+        np.zeros(seg, np.float32)])
+    truth_v = np.concatenate([np.ones(seg // HOP), np.zeros(seg // HOP),
+                              np.ones(seg // HOP), np.zeros(seg // HOP)])
+    for fn, min_prec in ((yin_f0, 0.9), (autocorr_f0, 0.9),
+                         (harvest_like_f0, 0.8)):
+        f0 = fn(y, SR)
+        n = min(len(f0), len(truth_v))
+        est, tv = f0[:n] > 0, truth_v[:n] > 0
+        prec = (est & tv).sum() / max(est.sum(), 1)
+        rec = (est & tv).sum() / tv.sum()
+        assert prec > min_prec and rec > 0.9, (fn.__name__, prec, rec)

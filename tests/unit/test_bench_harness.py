@@ -1,0 +1,33 @@
+"""The driver bench harness itself, exercised end-to-end on CPU with
+tiny settings: index-on + index-off timing, the staged-equivalence
+self-check, and the device-time loop all run through the production
+code path, so a bench bug surfaces here instead of after a 10-minute
+TPU compile."""
+
+import json
+import os
+import sys
+
+import pytest
+
+
+@pytest.mark.slow
+def test_bench_main_tiny(tmp_path, capsys, monkeypatch):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    import bench
+
+    monkeypatch.setenv("RVC_TPU_CHUNK_S", "0")  # single chunk on CPU
+    monkeypatch.setattr(bench, "INDEX_CACHE",
+                        str(tmp_path / "idx_cache.npz"))
+    bench.main(duration=1.2, runs=1, deep=2, n_vectors=512,
+               cfg_kwargs=dict(model_spk_embed_dim=2, model_n_layers=1,
+                               model_upsample_initial_channel=64))
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["value"] > 0 and rec["index_off_rtf"] > 0
+    assert rec["fused_vs_staged_spec_corr"] > 0.95
+    assert rec["device_ms_per_clip"] > 0
+    assert 0.0 <= rec["link_host_share"] <= 1.0
+    assert rec["index_vectors"] == 512

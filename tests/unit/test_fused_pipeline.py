@@ -126,3 +126,34 @@ def test_bf16_policy_matches_f32(tiny_rvc, sine_wave, monkeypatch):
     assert corr > 0.999, f"bf16/f32 waveform corr {corr:.6f}"
     sc = spectrogram_correlation(out32[:n], out16[:n])
     assert sc > 0.99, f"bf16/f32 spec corr {sc:.4f}"
+
+
+@pytest.mark.slow
+def test_bench_config_routes_through_ivf_search(tiny_rvc, sine_wave, rng,
+                                                monkeypatch):
+    """The driver bench's config (index present, index_rate=0.75, rmvpe,
+    fused path) must actually trace `_ivf_search` into the device program
+    — guards BENCH_r03's index-on number against silently benching a
+    retrieval-free graph (VERDICT r2 #1)."""
+    import rvc_tpu.retrieval.ivf as ivf
+    from rvc_tpu.retrieval import build_index
+
+    calls = []
+    real = ivf._ivf_search
+
+    def spy(*args, **kw):
+        calls.append(1)
+        return real(*args, **kw)
+
+    monkeypatch.setattr(ivf, "_ivf_search", spy)
+    y, _ = sine_wave
+    vecs = rng.standard_normal((300, 768)).astype(np.float32)
+    tiny_rvc.index = build_index(vecs, nlist=4)
+    tiny_rvc.pipeline.refresh()  # drop programs built without the spy
+    try:
+        out = tiny_rvc.infer(y[:8000], f0_method="rmvpe", index_rate=0.75)
+    finally:
+        tiny_rvc.index = None
+        tiny_rvc.pipeline.refresh()
+    assert np.isfinite(out).all()
+    assert calls, "index_rate=0.75 conversion never traced _ivf_search"

@@ -65,3 +65,139 @@ def test_sharded_retrieval_matches_single(rng):
         qs = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P("data")))
         d2, i2 = idx.search_device(qs, k=8, nprobe=8)
     np.testing.assert_array_equal(np.asarray(i2), i_ref)
+
+
+def test_zero1_opt_sharding_rule():
+    """Optimizer moments shard over "data" (ZeRO-1) on top of the param
+    TP spec; small leaves and scalars replicate."""
+    from rvc_tpu.parallel.mesh import _opt_spec_for_array, opt_state_shardings
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    big = np.zeros((768, 3072), np.float32)
+    # param TP rule puts "model" on dim 1 (3072); ZeRO-1 adds "data" on dim 0
+    assert _opt_spec_for_array(big, 4, 2) == P("data", "model")
+    small = np.zeros((16,), np.float32)
+    assert _opt_spec_for_array(small, 4, 2) == P()
+    sh = opt_state_shardings({"mu": {"w": big, "b": small}}, mesh)
+    assert sh["mu"]["w"].spec == P("data", "model")
+    assert sh["mu"]["b"].spec == P()
+
+
+def test_shard_state_zero1_memory():
+    """shard_state must land optimizer moments sharded: per-device
+    optimizer bytes ~ global / n_devices for large params."""
+    from rvc_tpu.configs import get_config
+    from rvc_tpu.parallel.train import (shard_state, state_bytes_per_device)
+    from rvc_tpu.train.train_step import create_train_state
+
+    cfg = get_config(32000, model_spk_embed_dim=2, model_n_layers=1,
+                     model_upsample_initial_channel=64,
+                     train_segment_size=320 * 12)
+    state, _, _ = create_train_state(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(n_data=4, n_model=2)
+    state = shard_state(state, mesh, min_size=1 << 14)
+    mem = state_bytes_per_device(state, mesh)
+    # most moment bytes live in large conv kernels that shard 8-ways;
+    # small leaves replicate, so allow a generous bound
+    assert mem["opt_bytes_per_device"] < 0.45 * mem["opt_bytes_global"], mem
+    # params stay replicated over "data" (sharded only over "model")
+    assert mem["param_bytes_per_device"] > mem["opt_bytes_per_device"] / 4
+
+
+def test_semantic_tp_specs_pinned():
+    """Named hot layers get their Megatron-style specs (VERDICT r2 #6):
+    attention QKV column / O row, FFN hidden column / out row, decoder
+    ResBlock conv pairs column/row; conv kernels never shard a window
+    dim."""
+    from rvc_tpu.parallel.mesh import _semantic_spec, _spec_for_array
+
+    qkv = np.zeros((1, 192, 192), np.float32)
+    assert _semantic_spec("enc_p/encoder/attn_layers_0/conv_q/weight",
+                          qkv, 2) == P(None, None, "model")
+    assert _semantic_spec("enc_p/encoder/attn_layers_0/conv_o/weight",
+                          qkv, 2) == P(None, "model", None)
+    ffn1 = np.zeros((3, 192, 768), np.float32)
+    ffn2 = np.zeros((3, 768, 192), np.float32)
+    assert _semantic_spec("enc_p/encoder/ffn_layers_0/conv_1/weight",
+                          ffn1, 2) == P(None, None, "model")
+    assert _semantic_spec("enc_p/encoder/ffn_layers_0/conv_2/weight",
+                          ffn2, 2) == P(None, "model", None)
+    # HuBERT torch-layout linears
+    proj = np.zeros((768, 768), np.float32)
+    assert _semantic_spec("layers_0/attention/q_proj/weight", proj, 2) == \
+        P("model", None)
+    assert _semantic_spec("layers_0/attention/out_proj/weight", proj, 2) == \
+        P(None, "model")
+    assert _semantic_spec("layers_0/intermediate_dense/weight",
+                          np.zeros((3072, 768), np.float32), 2) == \
+        P("model", None)
+    # decoder resblocks
+    rb = np.zeros((7, 128, 128), np.float32)
+    assert _semantic_spec("dec/resblocks_0/convs1_1/weight", rb, 2) == \
+        P(None, None, "model")
+    assert _semantic_spec("dec/resblocks_0/convs2_1/weight", rb, 2) == \
+        P(None, "model", None)
+    # unknown layers fall through to the heuristic; window dims excluded
+    ups = np.zeros((20, 64, 1024), np.float32)
+    assert _semantic_spec("dec/ups_0/weight", ups, 2) is None
+    assert _spec_for_array(ups, 2, min_size=1 << 10) == P(None, None, "model")
+    kernel_heavy = np.zeros((1024, 2, 2), np.float32)
+    assert _spec_for_array(kernel_heavy, 4, min_size=1 << 10) == P()
+
+
+def _count_collectives(compiled_text: str) -> dict:
+    import re as _re
+
+    counts = {}
+    for op in ("all-reduce", "all-gather", "reduce-scatter",
+               "collective-permute", "all-to-all"):
+        counts[op] = len(_re.findall(rf"\b{op}(?:-start)?\(", compiled_text))
+    counts["total"] = sum(counts.values())
+    return counts
+
+
+@pytest.mark.slow
+def test_semantic_tp_fewer_collectives():
+    """Compiled-HLO evidence: the semantic rules insert <= the
+    heuristic's collectives on the synthesizer inference graph over the
+    8-device CPU mesh (VERDICT r2 #6 'Done' criterion)."""
+    from rvc_tpu.configs import get_config
+    from rvc_tpu.models.synthesizer import build_synthesizer, source_noise_rng
+    from rvc_tpu.parallel.mesh import param_shardings
+    from rvc_tpu.utils.init_utils import cpu_backend
+
+    cfg = get_config(32000, model_spk_embed_dim=2, model_n_layers=2,
+                     model_upsample_initial_channel=64)
+    net = build_synthesizer(cfg)
+    B, T = 1, 96
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    phone = jax.random.normal(ks[0], (B, T, 768))
+    pitch = jnp.ones((B, T), jnp.int32) * 100
+    pitchf = jnp.full((B, T), 200.0)
+    lengths = jnp.array([T])
+    sid = jnp.array([0])
+    spec = jax.random.normal(ks[2], (B, T, cfg.data.spec_channels))
+    with cpu_backend():
+        variables = net.init({"params": ks[0], "noise": ks[1]}, phone,
+                             lengths, pitch, pitchf, spec, lengths, sid,
+                             rng=ks[3])
+
+    mesh = make_mesh(n_data=4, n_model=2)
+
+    def infer(v, ph, l, pi, pf, s):
+        wave, _ = net.apply(v, ph, l, pi, pf, s, rng=source_noise_rng(),
+                            method=net.infer)
+        return wave
+
+    def compile_with(semantic):
+        sh = param_shardings(variables["params"], mesh, min_size=1 << 12,
+                             semantic=semantic)
+        v = {"params": jax.tree.map(jax.device_put, variables["params"], sh)}
+        with jax.set_mesh(mesh):
+            lowered = jax.jit(infer).lower(v, phone, lengths, pitch,
+                                           pitchf, sid)
+            return lowered.compile().as_text()
+
+    sem = _count_collectives(compile_with(True))
+    heur = _count_collectives(compile_with(False))
+    assert sem["total"] <= heur["total"], (sem, heur)

@@ -273,3 +273,22 @@ def test_analyze_audio(tmp_path, sine_wave):
     info = analyze_audio(p)
     assert info["sample_rate"] == sr
     assert abs(info["dominant_freq_hz"] - 220.0) < 2.0
+
+
+def test_analyze_audio_plot_artifact(tmp_path, sine_wave):
+    """Reference parity: the analyzer writes a 3-panel analysis PNG
+    (`rvc/lib/tools/analyzer.py:53-80`)."""
+    import os
+
+    from rvc_tpu.utils.audio import save_wav
+    from rvc_tpu.tools.model_tools import analyze_audio
+
+    y, sr = sine_wave
+    p = str(tmp_path / "t.wav")
+    save_wav(p, y, sr)
+    plot = str(tmp_path / "analysis.png")
+    info = analyze_audio(p, plot)
+    assert info["plot_path"] == plot
+    assert os.path.getsize(plot) > 1000
+    with open(plot, "rb") as f:
+        assert f.read(4) == b"\x89PNG"

@@ -94,3 +94,26 @@ def test_default_nlist_formula():
     # n_ivf = min(16*sqrt(N), N/39) as in extract_index.py:43
     assert default_nlist(100_000) == min(int(16 * np.sqrt(100_000)), 100_000 // 39)
     assert default_nlist(10) == 1
+
+
+def test_kmeans_chunked_matches_dense(rng):
+    """The memory-bounded chunked Lloyd's must be bit-equal in structure
+    to the dense kernel (same assignments, same update rule)."""
+    from rvc_tpu.retrieval.ivf import _kmeans_fit, kmeans_fit
+
+    x = rng.standard_normal((500, 16)).astype(np.float32)
+    init = x[:8].copy()
+    dense = np.asarray(_kmeans_fit(jnp.asarray(x), jnp.asarray(init), 8, 5))
+    chunked = kmeans_fit(x, init, 8, n_iters=5, chunk=64, max_dense_cells=0)
+    np.testing.assert_allclose(chunked, dense, rtol=1e-4, atol=1e-5)
+
+
+def test_add_chunked_assignment(rng):
+    """Chunked add must produce identical list assignments to one-shot."""
+    vectors = rng.standard_normal((300, 8)).astype(np.float32)
+    idx1 = build_index(vectors, nlist=6)
+    idx2 = IVFFlatIndex(centroids=idx1.centroids.copy(),
+                        vectors=np.zeros((0, 8), np.float32),
+                        list_ids=np.zeros((0,), np.int32))
+    idx2.add(vectors, chunk=37)
+    np.testing.assert_array_equal(idx1.list_ids, idx2.list_ids)
