@@ -711,6 +711,23 @@ class Pipeline:
             pts.append(lo + int(np.argmin(seg)))
         return pts
 
+    def chunk_bounds(self, audio: np.ndarray) -> list:
+        """(start, end) sample bounds of the long-audio chunks the
+        pipeline will convert (window-aligned min-energy splits; one
+        chunk when the clip fits). Exposed so benches can dispatch the
+        exact production chunk shapes."""
+        opt_ts = self._find_split_points(audio)
+        if not opt_ts:
+            return [(0, len(audio))]
+        bounds = []
+        prev = 0
+        for t in opt_ts:
+            t = (t // self.window) * self.window
+            bounds.append((prev, t))
+            prev = t
+        bounds.append((prev, len(audio)))
+        return bounds
+
     def pipeline(
         self,
         audio: np.ndarray,
@@ -734,20 +751,8 @@ class Pipeline:
         with trace_span("host/highpass"):
             audio = audio_utils.highpass_filter(audio, SAMPLE_RATE, 48.0, 5)
 
-        opt_ts = self._find_split_points(audio)
+        bounds = self.chunk_bounds(audio)
         t_pad = self.t_pad
-
-        segments = []
-        if not opt_ts:
-            bounds = [(0, len(audio))]
-        else:
-            bounds = []
-            prev = 0
-            for t in opt_ts:
-                t = (t // self.window) * self.window
-                bounds.append((prev, t))
-                prev = t
-            bounds.append((prev, len(audio)))
 
         audio_pad_full = np.pad(audio, (t_pad, t_pad), mode="reflect")
         # user f0 curve: index 0 aligns with ORIGINAL frame 0; pad it to

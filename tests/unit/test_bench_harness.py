@@ -27,7 +27,8 @@ def test_bench_main_tiny(tmp_path, capsys, monkeypatch):
             if l.startswith("{")][-1]
     rec = json.loads(line)
     assert rec["value"] > 0 and rec["index_off_rtf"] > 0
-    assert rec["fused_vs_staged_spec_corr"] > 0.95
+    assert (rec["fused_vs_staged_wave_corr"] > 0.995
+            or rec["fused_vs_staged_spec_corr"] > 0.95)
     assert rec["device_ms_per_clip"] > 0
     assert 0.0 <= rec["link_host_share"] <= 1.0
     assert rec["index_vectors"] == 512
