@@ -27,6 +27,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = textwrap.dedent("""
     import os, sys, time, json
     n_dev = int(sys.argv[1]); n_steps = int(sys.argv[2]); b_pd = int(sys.argv[3])
+    T = int(sys.argv[4]) if len(sys.argv) > 4 else 200
     os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_dev}"
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -47,7 +48,7 @@ WORKER = textwrap.dedent("""
     state = shard_state(state, mesh, min_size=1 << 14)
     step = make_sharded_train_step(cfg, net_g, net_d, mesh)
 
-    B, T = b_pd * n_dev, 200
+    B = b_pd * n_dev
     hop = cfg.data.hop_length
     rng = np.random.default_rng(0)
     batch = Batch(
@@ -82,6 +83,7 @@ def main() -> int:
     ap.add_argument("--sizes", default="1,4,8")
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--batch_per_device", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=200)
     args = ap.parse_args()
 
     path = "/tmp/rvc_tpu_scaling_worker.py"
@@ -91,7 +93,7 @@ def main() -> int:
     for n in [int(s) for s in args.sizes.split(",")]:
         out = subprocess.run(
             [sys.executable, path, str(n), str(args.steps),
-             str(args.batch_per_device)],
+             str(args.batch_per_device), str(args.frames)],
             capture_output=True, text=True, timeout=3600)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")]
         if out.returncode != 0 or not line:

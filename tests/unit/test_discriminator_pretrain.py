@@ -60,6 +60,7 @@ def test_torch_mpd_roundtrip(version):
             k, ours[k].shape, theirs[k].shape)
 
 
+@pytest.mark.slow  # 45-70s: nightly tier
 def test_load_pretrained_d_pth(tmp_path):
     """trainer.load_pretrained ingests a .pth discriminator and rejects
     architecture mismatches loudly."""

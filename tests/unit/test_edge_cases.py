@@ -161,6 +161,7 @@ def test_chunk_s_env_pipelined_split(rvc, monkeypatch):
     assert corr(chunked[:48000], whole[:48000]) > 0.9
 
 
+@pytest.mark.slow  # 45-70s: nightly tier
 def test_output_length_exact_at_bucket_boundary(rvc):
     """With near-exact bucket padding (slack < 320 samples) the HuBERT
     x2 grid used to cap p_len and silently drop the final 10 ms frames

@@ -72,6 +72,7 @@ def test_infer_file_roundtrip(tiny_rvc, sine_wave, tmp_path):
     assert len(audio) > 8000
 
 
+@pytest.mark.slow  # 45-70s: nightly tier
 def test_source_noise_at_inference(tiny_rvc, monkeypatch):
     """The NSF source must carry noise at inference like the reference
     (`rvc_mlx/lib/mlx/generators.py:105-116`): unvoiced frames get their
