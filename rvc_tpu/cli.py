@@ -467,6 +467,15 @@ def cmd_serve(args):
 
         server = RealtimeWebSocketServer(rvc=rvc, host=args.host,
                                          port=args.port)
+        if args.webui:
+            # browser client app (the reference's native GUI analog):
+            # mic -> ws -> playback with session controls
+            from rvc_tpu.realtime.webui import WebUIServer
+
+            ui = WebUIServer(host=args.host, port=args.webui_port,
+                             ws_url=f"ws://{args.host}:{args.port}")
+            ui.serve_in_thread()
+            print(f"web client on http://{args.host}:{args.webui_port}")
     else:
         from rvc_tpu.realtime.core import VoiceChanger
         from rvc_tpu.realtime.server import RealtimeSocketServer
@@ -690,6 +699,9 @@ def main(argv=None):
                    help="TCP protocol block size (x128 samples @48 kHz)")
     p.add_argument("--f0_method", default="rmvpe", type=_f0_method)
     p.add_argument("--sid", type=int, default=0)
+    p.add_argument("--webui", action="store_true",
+                   help="also serve the browser client app (ws protocol)")
+    p.add_argument("--webui_port", type=int, default=6007)
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(

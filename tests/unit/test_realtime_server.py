@@ -83,3 +83,39 @@ def test_websocket_server_reference_protocol():
     outs = asyncio.run(asyncio.wait_for(run_once(), timeout=60))
     for out in outs:
         np.testing.assert_allclose(out, np.arange(256) * 0.5, atol=1e-6)
+
+
+def test_webui_serves_client_page():
+    """The browser client app (reference native-GUI analog, SURVEY L10)
+    serves a self-contained page wired to the ws endpoint."""
+    import urllib.request
+
+    from rvc_tpu.realtime.webui import WebUIServer
+
+    srv = WebUIServer(host="127.0.0.1", port=0)  # port 0 -> ephemeral
+    # pick a free port explicitly (asyncio start_server on port 0 works,
+    # but we need to know it): bind a probe socket first
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    srv.port = port
+    srv.ws_url = "ws://127.0.0.1:16006"
+    srv.serve_in_thread()
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=10) as r:
+        body = r.read().decode()
+    assert r.status == 200
+    assert "<html" in body and "ws://127.0.0.1:16006" in body
+    assert "getUserMedia" in body and "WebSocket" in body
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
+                                timeout=10) as r:
+        assert r.read() == b"ok"
+    import urllib.error
+
+    try:
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=10)
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
