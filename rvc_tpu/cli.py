@@ -386,10 +386,14 @@ def cmd_train(args):
     if g_path or d_path:
         trainer.load_pretrained(g_path, d_path)
     result = trainer.train(args.total_epoch, save_every=args.save_every_epoch)
-    final = None
+    # EVERY host enters the export: fetching mesh-sharded params is a
+    # collective (trainer._host_tree) — a main-only call would hang the
+    # main host once the others exit. Only host 0 writes the file.
+    final = trainer.export_inference_model(
+        os.path.join(exp_dir, f"{args.model_name}.safetensors"))
+    if shard["host_id"] != 0:
+        final = None
     if shard["host_id"] == 0:
-        final = trainer.export_inference_model(
-            os.path.join(exp_dir, f"{args.model_name}.safetensors"))
         if args.index_algorithm:
             # an index-build failure (e.g. empty features dir) must not
             # swallow the training summary of a completed run

@@ -96,10 +96,22 @@ def make_sharded_train_step(
     mesh: Mesh,
     steps_per_epoch: int = 100,
     adversarial: bool = True,
+    state: Optional[TrainState] = None,
 ):
     """The same jitted G+D update, constrained to the mesh. Inputs arrive
-    pre-sharded (shard_state / shard_batch); jit propagates shardings."""
-    step = make_train_step(cfg, net_g, net_d, steps_per_epoch, adversarial)
+    pre-sharded (shard_state / shard_batch). Pass the sharded `state` so
+    the output layout is PINNED to the input layout (params replicated
+    over "data", moments ZeRO-1 sharded): otherwise GSPMD may re-layout
+    params toward the sharded moments, recompiling on step 2 and leaving
+    params cross-host-sharded — which turns host-local param fetches
+    into collectives and hangs any host that fetches alone (e.g. the
+    main-host model export)."""
+    out_shardings = None
+    if state is not None:
+        out_shardings = (jax.tree.map(lambda x: x.sharding, state),
+                         replicate(mesh))
+    step = make_train_step(cfg, net_g, net_d, steps_per_epoch, adversarial,
+                           out_shardings=out_shardings)
 
     def sharded_step(state, batch, rng):
         with jax.set_mesh(mesh):

@@ -140,8 +140,15 @@ def make_train_step(
     steps_per_epoch: int = 100,
     adversarial: bool = True,
     freeze_encoder: bool = False,
+    out_shardings=None,
 ):
     """Build the jitted (state, batch, rng) -> (state, metrics) update.
+
+    out_shardings (optional, mesh runs): pins the output TrainState to
+    the input layout — without it GSPMD may re-layout params to match
+    the ZeRO-1-sharded optimizer moments, which both recompiles on the
+    second step and leaves params cross-host-sharded (breaking
+    host-local fetches of replicated params).
 
     freeze_encoder zeroes enc_p gradients (the reference's finetuning
     freeze, `rvc_mlx/train/trainer.py:216-221`)."""
@@ -200,7 +207,11 @@ def make_train_step(
                                            wave_real, y_hat)
         return L.discriminator_loss(y_d_rs, y_d_gs)
 
-    @partial(jax.jit, donate_argnums=(0,))
+    jit_kwargs = {"donate_argnums": (0,)}
+    if out_shardings is not None:
+        jit_kwargs["out_shardings"] = out_shardings
+
+    @partial(jax.jit, **jit_kwargs)
     def train_step(state: TrainState, batch: Batch, rng: jax.Array):
         rng_g, _ = jax.random.split(rng)
         (g_total, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(

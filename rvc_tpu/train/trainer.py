@@ -100,9 +100,12 @@ class RVCTrainer:
             if self.mesh is not None:
                 from rvc_tpu.parallel.train import make_sharded_train_step
 
+                # state must be sharded already: its layout pins the
+                # step's out_shardings
+                self._ensure_sharded()
                 self._step_fns[adversarial] = make_sharded_train_step(
                     self.cfg, self.net_g, self.net_d, self.mesh,
-                    self._steps_per_epoch, adversarial)
+                    self._steps_per_epoch, adversarial, state=self.state)
             else:
                 self._step_fns[adversarial] = make_train_step(
                     self.cfg, self.net_g, self.net_d,
@@ -235,16 +238,21 @@ class RVCTrainer:
         if full_state:
             # orbax coordinates across processes internally — EVERY host
             # must enter the save (a main-only call deadlocks its
-            # multihost barrier); it writes one checkpoint regardless
+            # multihost barrier); it writes one checkpoint regardless.
+            # The (possibly ZeRO-1 cross-host-sharded) moments are passed
+            # as global jax.Arrays — each host writes its own shards
+            # (a host-side device_get would raise on non-addressable
+            # shards).
             try:
                 import orbax.checkpoint as ocp
 
                 path = os.path.abspath(
                     os.path.join(self.checkpoint_dir, f"{name}_opt"))
                 with ocp.StandardCheckpointer() as ckptr:
-                    ckptr.save(path, jax.device_get(
-                        {"g_opt": self.state.g_opt, "d_opt": self.state.d_opt}),
-                        force=True)
+                    ckptr.save(path,
+                               {"g_opt": self.state.g_opt,
+                                "d_opt": self.state.d_opt},
+                               force=True)
             except Exception as e:  # params-only checkpoints still valid
                 print(f"optimizer-state save skipped: {e}")
         if not self._is_main:
@@ -276,8 +284,10 @@ class RVCTrainer:
                 import orbax.checkpoint as ocp
 
                 with ocp.StandardCheckpointer() as ckptr:
-                    target = jax.device_get(
-                        {"g_opt": self.state.g_opt, "d_opt": self.state.d_opt})
+                    # concrete arrays as target: orbax restores into the
+                    # SAME shardings (ZeRO-1 moments land sharded again)
+                    target = {"g_opt": self.state.g_opt,
+                              "d_opt": self.state.d_opt}
                     restored = ckptr.restore(opt_path, target)
                 self.state = self.state._replace(
                     g_opt=restored["g_opt"], d_opt=restored["d_opt"])

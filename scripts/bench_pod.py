@@ -47,9 +47,17 @@ def main() -> int:
     ap.add_argument("--sample_rate", type=int, default=48000)
     ap.add_argument("--baseline", type=float, default=None,
                     help="single-host audio_s_per_s for efficiency")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model (smoke-test the script on CPU)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (env alone is too late "
+                         "on images whose sitecustomize pre-imports jax)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from rvc_tpu.parallel.distributed import global_mesh, initialize
@@ -63,18 +71,23 @@ def main() -> int:
 
     from rvc_tpu.configs import get_config
 
+    tiny = dict(model_spk_embed_dim=2, model_n_layers=1,
+                model_upsample_initial_channel=64,
+                train_segment_size=320 * 12) if args.tiny else {}
+
     if args.mode == "train":
         from rvc_tpu.parallel.train import (make_sharded_train_step,
                                             shard_batch, shard_state,
                                             state_bytes_per_device)
         from rvc_tpu.train.train_step import Batch, create_train_state
 
-        cfg = get_config(args.sample_rate, model_spk_embed_dim=4)
+        cfg = get_config(args.sample_rate,
+                         **{"model_spk_embed_dim": 4, **tiny})
         state, net_g, net_d = create_train_state(cfg, jax.random.PRNGKey(0))
         state = shard_state(state, mesh)
         if first:
             print("state memory:", state_bytes_per_device(state, mesh))
-        step = make_sharded_train_step(cfg, net_g, net_d, mesh)
+        step = make_sharded_train_step(cfg, net_g, net_d, mesh, state=state)
 
         B_local = args.batch_per_device * len(jax.local_devices())
         T = args.frames
@@ -105,7 +118,8 @@ def main() -> int:
         from rvc_tpu.api import RVC
         from rvc_tpu.parallel.infer import BatchConverter
 
-        cfg = get_config(args.sample_rate, model_spk_embed_dim=4)
+        cfg = get_config(args.sample_rate,
+                         **{"model_spk_embed_dim": 4, **tiny})
         rvc = RVC(config=cfg, seed=0)
         bc = BatchConverter(rvc, mesh)
         B = args.batch_per_device * n_dev

@@ -46,7 +46,7 @@ WORKER = textwrap.dedent("""
     mesh = make_mesh(n_data=n_dev, n_model=1)
     state, net_g, net_d = create_train_state(cfg, jax.random.PRNGKey(0))
     state = shard_state(state, mesh, min_size=1 << 14)
-    step = make_sharded_train_step(cfg, net_g, net_d, mesh)
+    step = make_sharded_train_step(cfg, net_g, net_d, mesh, state=state)
 
     B = b_pd * n_dev
     hop = cfg.data.hop_length
