@@ -366,10 +366,43 @@ class RVCTrainer:
                 self.tracker.log_metrics(smoothed, int(self.state.step))
         return {k: v / max(n, 1) for k, v in agg.items()} | {"batches": n}
 
+    # -- preemption handling (beyond reference: SURVEY §5 notes the
+    # reference has no failure detection / elastic recovery) ----------
+    def _install_preempt_handler(self):
+        """SIGTERM (the pod scheduler's eviction signal) requests a
+        graceful stop: finish the current epoch, checkpoint, exit 0.
+        Returns the previous handler (None when not installable, e.g.
+        in a non-main thread under tests)."""
+        import signal
+
+        self._preempt = False
+
+        def handler(signum, frame):
+            self._preempt = True
+
+        try:
+            return signal.signal(signal.SIGTERM, handler)
+        except ValueError:
+            return None
+
+    def _preempt_requested(self) -> bool:
+        """Cross-host agreement on the preempt flag: the signal may land
+        on one host only, and a one-sided break would hang the others in
+        the next epoch's collectives."""
+        flag = bool(getattr(self, "_preempt", False))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.asarray([flag], dtype=np.int32))
+            return bool(np.asarray(flags).any())
+        return flag
+
     def train(self, epochs: int, save_every: int = 10,
               warmup_epochs: Optional[int] = None) -> dict:
         warmup = self.cfg.train.warmup_epochs if warmup_epochs is None else warmup_epochs
         history = []
+        prev_handler = self._install_preempt_handler()
         for _ in range(epochs):
             t0 = time.time()
             adversarial = self.epoch >= warmup
@@ -392,6 +425,13 @@ class RVCTrainer:
             if self.detector is not None and self.detector.update(self.epoch, g_total):
                 self.save_checkpoint()
                 break
+            if self._preempt_requested():
+                self.save_checkpoint(f"preempt_epoch_{self.epoch:04d}")
+                if self._is_main:
+                    print(f"preemption requested: checkpointed at epoch "
+                          f"{self.epoch}, stopping cleanly (resume with "
+                          f"trainer.resume('preempt_epoch_{self.epoch:04d}'))")
+                break
             self.epoch += 1
             if self.epoch % save_every == 0:
                 self.save_checkpoint("latest" if self.save_only_latest else None)
@@ -400,7 +440,12 @@ class RVCTrainer:
                         self.checkpoint_dir,
                         f"{self.model_name}_{self.epoch}e.safetensors"))
                 self.render_eval_audio()
+        if prev_handler is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, prev_handler)
         self.save_checkpoint("last")
         self.tracker.close()
         return {"epochs_run": len(history), "history": history,
-                "best_loss": self.best_loss}
+                "best_loss": self.best_loss,
+                "preempted": bool(getattr(self, "_preempt", False))}

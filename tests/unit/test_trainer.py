@@ -149,3 +149,33 @@ def test_trainer_reference_flags(tmp_path):
     assert "tiny_1e.safetensors" in files and "tiny_2e.safetensors" in files
     # device cache populated and reused
     assert tr._device_batches is not None and len(tr._device_batches) == 2
+
+
+@pytest.mark.slow
+def test_preemption_graceful_stop(tmp_path):
+    """SIGTERM mid-training (the pod scheduler's eviction signal) stops
+    at the epoch boundary with a resumable checkpoint — beyond-reference
+    elastic behavior (SURVEY §5: reference has none)."""
+    import glob
+    import signal
+    import threading
+
+    cfg = get_config(32000, model_spk_embed_dim=2, model_n_layers=1,
+                     model_upsample_initial_channel=64,
+                     train_segment_size=320 * 12, train_batch_size=2)
+    ds = FakeDataset(4, 50, cfg)
+    loader = DataLoader(ds, batch_size=2, drop_last=True)
+    trainer = RVCTrainer(cfg, loader, checkpoint_dir=str(tmp_path))
+
+    # deliver a real SIGTERM once the first epoch is underway
+    threading.Timer(0.5, os.kill, (os.getpid(), signal.SIGTERM)).start()
+    result = trainer.train(epochs=50, save_every=100)
+
+    assert result["preempted"] is True
+    assert result["epochs_run"] < 50
+    ckpts = glob.glob(os.path.join(str(tmp_path), "preempt_epoch_*_G.safetensors"))
+    assert ckpts, os.listdir(str(tmp_path))
+    # and the checkpoint resumes
+    name = os.path.basename(ckpts[0])[: -len("_G.safetensors")]
+    trainer2 = RVCTrainer(cfg, loader, checkpoint_dir=str(tmp_path))
+    trainer2.resume(name)
