@@ -184,13 +184,13 @@ def main(duration: float = 13.5, runs: int = 5, deep: int = 6,
             else:
                 os.environ[k] = v
     n = min(len(staged), len(fused))
-    corr = spectrogram_correlation(staged[:n], fused[:n], cfg.data.sample_rate)
+    corr = spectrogram_correlation(staged[:n], fused[:n])
     wcorr = float(np.corrcoef(staged[:n], fused[:n])[0, 1])
     # wave_corr is the discriminating check here: with shared f0 and
     # matched precision the two paths are sample-near-identical
     # (measured 0.999999 on-device), while the log-spec metric can sit
-    # at the noise floor on near-silent frames of random-weight output
-    # (0.89 at wave_corr 0.999999). Accept either bar.
+    # at the noise floor on near-silent frames of random-weight output.
+    # Accept either bar.
     assert wcorr > 0.995 or corr > 0.95, (
         f"fused path diverged from staged path: "
         f"spec_corr={corr} wave_corr={wcorr}")
@@ -215,6 +215,7 @@ def main(duration: float = 13.5, runs: int = 5, deep: int = 6,
     # time per clip ~ pure device execution time.
     from rvc_tpu.utils import audio as audio_utils
 
+    _prev_fetch = os.environ.get("RVC_TPU_ASYNC_FETCH")
     os.environ["RVC_TPU_ASYNC_FETCH"] = "0"
     try:
         audio_hp = audio_utils.highpass_filter(audio, 16000, 48.0, 5)
@@ -235,7 +236,10 @@ def main(duration: float = 13.5, runs: int = 5, deep: int = 6,
         jax.block_until_ready(handles)
         device_s_per_clip = (time.perf_counter() - t0) / n_deep
     finally:
-        os.environ["RVC_TPU_ASYNC_FETCH"] = "1"
+        if _prev_fetch is None:
+            os.environ.pop("RVC_TPU_ASYNC_FETCH", None)
+        else:
+            os.environ["RVC_TPU_ASYNC_FETCH"] = _prev_fetch
 
     rtf_on = duration / t_on
     rtf_off = duration / t_off

@@ -403,6 +403,10 @@ def cmd_train(args):
                 print(f"warning: post-training index build failed "
                       f"(exit {e.code}); run `rvc-tpu index` manually",
                       file=sys.stderr)
+            except Exception as e:  # e.g. missing features dir
+                print(f"warning: post-training index build failed "
+                      f"({e.__class__.__name__}: {e}); run "
+                      f"`rvc-tpu index` manually", file=sys.stderr)
     print(json.dumps({"epochs_run": result["epochs_run"],
                       "best_loss": result["best_loss"], "model": final,
                       "host": shard["host_id"]}))

@@ -52,9 +52,9 @@ def _spec_for_array(x, model_size: int, min_size: int = 1 << 16) -> P:
         return P()
     dims = sorted(range(x.ndim), key=lambda i: -x.shape[i])
     if x.ndim >= 3:
-        # prefer C_out over C_in so the layer is column-parallel by
-        # default (its input stays replicated)
-        dims = [d for d in (x.ndim - 1, x.ndim - 2) if d in dims]
+        # conv kernels only consider channel dims, preferring C_out so
+        # the layer is column-parallel by default (input replicated)
+        dims = [x.ndim - 1, x.ndim - 2]
     for d in dims:
         if x.shape[d] % model_size == 0 and x.shape[d] >= 2 * model_size:
             spec = [None] * x.ndim
@@ -68,28 +68,32 @@ def _spec_for_array(x, model_size: int, min_size: int = 1 << 16) -> P:
 # instead of per-layer all-gathers from the shape heuristic.
 # Layouts: synthesizer rel-pos attention + FFN use Conv1d kernels
 # (K, C_in, C_out); HuBERT keeps torch Linear layout (out, in).
+# Biases always replicate (1: P()): adding a replicated bias to a
+# "model"-sharded output is a local slice under GSPMD (no collective),
+# and it keeps biases consistent with weights that the min_size gate
+# replicates.
 _SEMANTIC_TP_RULES = (
     # synthesizer enc_p attention: QKV split by heads (column), O row
     (re.compile(r"(conv_q|conv_k|conv_v)/\w+$"), {3: P(None, None, "model"),
-                                                  1: P("model")}),
+                                                  1: P()}),
     (re.compile(r"conv_o/\w+$"), {3: P(None, "model", None), 1: P()}),
     # synthesizer FFN: hidden dim column, projection back row
     (re.compile(r"ffn_layers_\d+/conv_1/\w+$"), {3: P(None, None, "model"),
-                                                 1: P("model")}),
+                                                 1: P()}),
     (re.compile(r"ffn_layers_\d+/conv_2/\w+$"), {3: P(None, "model", None),
                                                  1: P()}),
     # HuBERT attention (torch layout): QKV column = split OUT (dim 0)
     (re.compile(r"(q_proj|k_proj|v_proj)/\w+$"), {2: P("model", None),
-                                                  1: P("model")}),
+                                                  1: P()}),
     (re.compile(r"out_proj/\w+$"), {2: P(None, "model"), 1: P()}),
     # HuBERT FFN
     (re.compile(r"intermediate_dense/\w+$"), {2: P("model", None),
-                                              1: P("model")}),
+                                              1: P()}),
     (re.compile(r"output_dense/\w+$"), {2: P(None, "model"), 1: P()}),
     # decoder ResBlock pairs: convs1 column, convs2 row (one all-reduce
     # per dilated pair; the residual add stays replicated)
     (re.compile(r"resblocks_\d+/convs1_\d+/\w+$"), {3: P(None, None, "model"),
-                                                    1: P("model")}),
+                                                    1: P()}),
     (re.compile(r"resblocks_\d+/convs2_\d+/\w+$"), {3: P(None, "model", None),
                                                     1: P()}),
 )
@@ -97,9 +101,15 @@ _SEMANTIC_TP_RULES = (
 
 def _semantic_spec(path: str, x, model_size: int,
                    min_size: int = 1 << 16) -> Optional[P]:
-    """Spec from the semantic rule table, or None to fall back."""
+    """Spec from the semantic rule table, or None to fall back.
+
+    min_size applies to weight leaves just like the heuristic: a
+    column/row pair's members are similar in size, so the threshold
+    replicates both together (no one-sided reshard)."""
     for pat, by_ndim in _SEMANTIC_TP_RULES:
         if pat.search(path):
+            if x.ndim >= 2 and x.size < min_size:
+                return P()
             spec = by_ndim.get(x.ndim)
             if spec is None:
                 return None
@@ -135,20 +145,50 @@ def _opt_spec_for_array(x, data_size: int, model_size: int,
     return P(*spec)
 
 
+def _path_str(path) -> str:
+    def seg(k):
+        for attr in ("key", "name", "idx"):
+            if hasattr(k, attr):
+                return str(getattr(k, attr))
+        return str(k)
+
+    return "/".join(seg(k) for k in path)
+
+
 def opt_state_shardings(opt_state, mesh: Mesh, min_size: int = 1 << 16):
     """Pytree of NamedShardings for an optax state under the ZeRO-1 rule.
 
-    Moment leaves are param-shaped, and our specs are pure functions of
-    shape, so each leaf's spec can be derived directly (scalars like the
-    Adam `count` replicate via P())."""
+    Optax state paths END with the owning param's path (e.g.
+    `0/mu/enc_p/.../conv_q/weight`), so the SAME semantic rule table
+    that shards the params applies — moments line up with their param's
+    "model" sharding (a heuristic-only base would put row-parallel
+    layers' moments on a different dim and force per-step reshards).
+    The largest remaining divisible dim then shards over "data"
+    (ZeRO-1), so per-device optimizer bytes scale ~1/n_devices instead
+    of replicating 2x-params of AdamW moments on every chip. Scalars
+    like the Adam `count` replicate via P()."""
     data_size = mesh.shape["data"]
     model_size = mesh.shape["model"]
-    return jax.tree.map(
-        lambda x: NamedSharding(
-            mesh, _opt_spec_for_array(x, data_size, model_size, min_size)
-            if hasattr(x, "ndim") and x.ndim > 0 else P()),
-        opt_state,
-    )
+    flat, treedef = jax.tree_util.tree_flatten_with_path(opt_state)
+    out = []
+    for path, x in flat:
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            out.append(NamedSharding(mesh, P()))
+            continue
+        base = _semantic_spec(_path_str(path), x, model_size, min_size)
+        if base is None:
+            base = _spec_for_array(x, model_size, min_size)
+        spec = list(base) + [None] * (x.ndim - len(base))
+        if data_size > 1 and x.size >= min_size:
+            for d in sorted(range(x.ndim), key=lambda i: -x.shape[i]):
+                if (spec[d] is None and x.shape[d] % data_size == 0
+                        and x.shape[d] >= 2 * data_size):
+                    spec[d] = "data"
+                    break
+        while spec and spec[-1] is None:
+            spec.pop()
+        out.append(NamedSharding(mesh, P(*spec)))
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def param_shardings(params, mesh: Mesh, min_size: int = 1 << 16,
@@ -161,8 +201,7 @@ def param_shardings(params, mesh: Mesh, min_size: int = 1 << 16,
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     specs = []
     for path, x in flat:
-        p = "/".join(str(k.key) if hasattr(k, "key") else str(k)
-                     for k in path)
+        p = _path_str(path)
         spec = _semantic_spec(p, x, model_size, min_size) if semantic else None
         if spec is None:
             spec = _spec_for_array(x, model_size, min_size)

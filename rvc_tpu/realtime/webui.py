@@ -119,6 +119,13 @@ function stop() {
 document.getElementById("start").onclick = () => start().catch(
   e => setStatus("mic/ws failed: " + e, false));
 document.getElementById("stop").onclick = stop;
+// wildcard listen addresses are not routable from a browser — swap in
+// the hostname the page itself was loaded from
+(function () {
+  const i = document.getElementById("ws_url");
+  i.value = i.value.replace("0.0.0.0", location.hostname)
+                   .replace("[::]", location.hostname);
+})();
 </script>
 </body>
 </html>

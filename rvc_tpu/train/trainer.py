@@ -426,6 +426,9 @@ class RVCTrainer:
                 self.save_checkpoint()
                 break
             if self._preempt_requested():
+                # record the cross-host AGREED decision: the signal may
+                # have landed on a peer only
+                self._preempt_agreed = True
                 self.save_checkpoint(f"preempt_epoch_{self.epoch:04d}")
                 if self._is_main:
                     print(f"preemption requested: checkpointed at epoch "
@@ -448,4 +451,5 @@ class RVCTrainer:
         self.tracker.close()
         return {"epochs_run": len(history), "history": history,
                 "best_loss": self.best_loss,
-                "preempted": bool(getattr(self, "_preempt", False))}
+                "preempted": bool(getattr(self, "_preempt_agreed", False)
+                                  or getattr(self, "_preempt", False))}

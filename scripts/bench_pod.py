@@ -106,7 +106,8 @@ def main() -> int:
                 (B_local, T, cfg.data.spec_channels)).astype(np.float32),
             spec_lengths=np.full((B_local,), T, np.int32),
             wave=(0.1 * rng.standard_normal((B_local, T * hop))).astype(np.float32),
-            sid=rng.integers(0, 4, (B_local,)).astype(np.int32),
+            sid=rng.integers(0, cfg.model.spk_embed_dim,
+                             (B_local,)).astype(np.int32),
         )
         batch = shard_batch(batch, mesh)
         rngk = jax.random.PRNGKey(1)

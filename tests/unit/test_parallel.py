@@ -112,10 +112,13 @@ def test_semantic_tp_specs_pinned():
     from rvc_tpu.parallel.mesh import _semantic_spec, _spec_for_array
 
     qkv = np.zeros((1, 192, 192), np.float32)
+    # min_size is honored (review r3): small matched weights replicate
     assert _semantic_spec("enc_p/encoder/attn_layers_0/conv_q/weight",
-                          qkv, 2) == P(None, None, "model")
+                          qkv, 2) == P()
+    assert _semantic_spec("enc_p/encoder/attn_layers_0/conv_q/weight",
+                          qkv, 2, 1 << 12) == P(None, None, "model")
     assert _semantic_spec("enc_p/encoder/attn_layers_0/conv_o/weight",
-                          qkv, 2) == P(None, "model", None)
+                          qkv, 2, 1 << 12) == P(None, "model", None)
     ffn1 = np.zeros((3, 192, 768), np.float32)
     ffn2 = np.zeros((3, 768, 192), np.float32)
     assert _semantic_spec("enc_p/encoder/ffn_layers_0/conv_1/weight",
@@ -201,3 +204,24 @@ def test_semantic_tp_fewer_collectives():
     sem = _count_collectives(compile_with(True))
     heur = _count_collectives(compile_with(False))
     assert sem["total"] <= heur["total"], (sem, heur)
+
+
+def test_zero1_moments_align_with_semantic_param_specs():
+    """ZeRO-1 moment specs share the param's "model" dim for
+    semantically-sharded layers (review r3: a heuristic-only base put
+    row-parallel layers' moments on a different dim, forcing per-step
+    reshards). Optax paths end with the param path, so the same rule
+    table applies."""
+    from rvc_tpu.parallel.mesh import opt_state_shardings, param_shardings
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = {"layers_0": {"attention": {"out_proj": {
+        "weight": np.zeros((768, 768), np.float32)}}}}
+    opt = {"mu": params, "nu": params}
+    psh = param_shardings(params, mesh, min_size=1 << 12)
+    osh = opt_state_shardings(opt, mesh, min_size=1 << 12)
+    w = psh["layers_0"]["attention"]["out_proj"]["weight"].spec
+    mw = osh["mu"]["layers_0"]["attention"]["out_proj"]["weight"].spec
+    assert w == P(None, "model")
+    # moment keeps "model" on the SAME dim, plus "data" on the other
+    assert mw == P("data", "model"), mw
