@@ -57,16 +57,24 @@ def bench_index(seed: int = 7, n_vectors: int = N_INDEX_VECTORS,
     centroids/assignments cache to disk so repeat runs skip training."""
     from rvc_tpu.retrieval.ivf import IVFFlatIndex, build_index
 
+    kmeans_iters = 3
     rng = np.random.default_rng(seed)
     vectors = rng.standard_normal((n_vectors, INDEX_DIM)).astype(np.float32)
+    # cache key covers every input that shapes the trained index — a
+    # seed/dim/params change must invalidate, not silently reuse stale
+    # centroids (they feed both the self-validation and the headline)
+    params = np.asarray([seed, n_vectors, INDEX_DIM, kmeans_iters],
+                        dtype=np.int64)
     if cache and os.path.exists(INDEX_CACHE):
         z = np.load(INDEX_CACHE)
-        if z["list_ids"].shape[0] == n_vectors:
+        if ("params" in z and z["params"].shape == params.shape
+                and (z["params"] == params).all()):
             return IVFFlatIndex(centroids=z["centroids"], vectors=vectors,
                                 list_ids=z["list_ids"])
-    idx = build_index(vectors, kmeans_iters=3)
+    idx = build_index(vectors, kmeans_iters=kmeans_iters)
     if cache:
-        np.savez(INDEX_CACHE, centroids=idx.centroids, list_ids=idx.list_ids)
+        np.savez(INDEX_CACHE, centroids=idx.centroids, list_ids=idx.list_ids,
+                 params=params)
     return idx
 
 

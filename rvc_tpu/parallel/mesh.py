@@ -124,18 +124,15 @@ def _semantic_spec(path: str, x, model_size: int,
     return None
 
 
-def _opt_spec_for_array(x, data_size: int, model_size: int,
-                        min_size: int = 1 << 16) -> P:
-    """ZeRO-1 rule for optimizer-moment leaves: keep the param's TP spec
-    (moment shards must line up with their param's "model" sharding) and
-    additionally shard the largest remaining divisible dim over "data",
-    so per-device optimizer bytes scale ~1/n_devices instead of
-    replicating 2x-params of AdamW moments on every chip."""
-    base = _spec_for_array(x, model_size, min_size)
+def _zero1_spec(base: P, x, data_size: int, min_size: int = 1 << 16) -> P:
+    """ZeRO-1 step shared by the production path (opt_state_shardings)
+    and the per-array helper: given a leaf's base TP spec, additionally
+    shard the largest remaining divisible dim over "data", so per-device
+    optimizer bytes scale ~1/n_devices instead of replicating 2x-params
+    of AdamW moments on every chip."""
     spec = list(base) + [None] * (x.ndim - len(base))
     if data_size > 1 and x.size >= min_size:
-        dims = sorted(range(x.ndim), key=lambda i: -x.shape[i])
-        for d in dims:
+        for d in sorted(range(x.ndim), key=lambda i: -x.shape[i]):
             if (spec[d] is None and x.shape[d] % data_size == 0
                     and x.shape[d] >= 2 * data_size):
                 spec[d] = "data"
@@ -143,6 +140,15 @@ def _opt_spec_for_array(x, data_size: int, model_size: int,
     while spec and spec[-1] is None:
         spec.pop()
     return P(*spec)
+
+
+def _opt_spec_for_array(x, data_size: int, model_size: int,
+                        min_size: int = 1 << 16) -> P:
+    """ZeRO-1 rule for optimizer-moment leaves: keep the param's TP spec
+    (moment shards must line up with their param's "model" sharding) and
+    apply the shared _zero1_spec data-axis step."""
+    return _zero1_spec(_spec_for_array(x, model_size, min_size), x,
+                       data_size, min_size)
 
 
 def _path_str(path) -> str:
@@ -178,16 +184,8 @@ def opt_state_shardings(opt_state, mesh: Mesh, min_size: int = 1 << 16):
         base = _semantic_spec(_path_str(path), x, model_size, min_size)
         if base is None:
             base = _spec_for_array(x, model_size, min_size)
-        spec = list(base) + [None] * (x.ndim - len(base))
-        if data_size > 1 and x.size >= min_size:
-            for d in sorted(range(x.ndim), key=lambda i: -x.shape[i]):
-                if (spec[d] is None and x.shape[d] % data_size == 0
-                        and x.shape[d] >= 2 * data_size):
-                    spec[d] = "data"
-                    break
-        while spec and spec[-1] is None:
-            spec.pop()
-        out.append(NamedSharding(mesh, P(*spec)))
+        out.append(NamedSharding(
+            mesh, _zero1_spec(base, x, data_size, min_size)))
     return jax.tree_util.tree_unflatten(treedef, out)
 
 

@@ -133,6 +133,19 @@ def _f16_in() -> bool:
     return _os.environ.get("RVC_TPU_F16_IN", "1") == "1"
 
 
+def _graph_knobs() -> tuple:
+    """Env knobs that change what a built program TRACES (Pallas kernel
+    selection, f0 U-Net dtype). They are read at trace time inside the
+    model code, so they must be part of every compiled-program cache key
+    — otherwise flipping one mid-process silently reuses a program built
+    under the old setting (advisor r3 finding)."""
+    import os as _os
+
+    return tuple(_os.environ.get(k, "") for k in (
+        "RVC_TPU_PALLAS_MEL", "RVC_TPU_PALLAS_RESBLOCK",
+        "RVC_TPU_PALLAS_ATTN", "RVC_TPU_BF16_F0"))
+
+
 def _one_dispatch() -> bool:
     """RVC_TPU_ONE_DISPATCH=1 merges the f0 and conversion programs into
     a single executable (one remote execute per chunk instead of two).
@@ -362,7 +375,7 @@ class Pipeline:
             self._packed_dtype = dtype
         one_dispatch = _one_dispatch()
         key = ("packed", use_index, jnp.dtype(dtype).name, f16_out,
-               trim_frames, one_dispatch)
+               trim_frames, one_dispatch, _graph_knobs())
         if key not in self._fused:
             ss, hs, rs = self._packed["specs"]
             fn_f0 = self._build_f0_program()
@@ -417,7 +430,7 @@ class Pipeline:
         dtype = _compute_dtype()
         f16_out = _f16_out()
         key = ("frozen", use_index, jnp.dtype(dtype).name, f16_out,
-               trim_frames)
+               trim_frames, _graph_knobs())
         if key not in self._fused:
             fn_f0 = self._build_f0_program()
             fn_conv = self._build_fused(use_index, dtype, f16_out,
@@ -528,13 +541,14 @@ class Pipeline:
         else:
             dtype = _compute_dtype()
             key = ("plain", use_index, jnp.dtype(dtype).name, _f16_out(),
-                   trim_frames)
-            if "f0" not in self._fused:
-                self._fused["f0"] = self._build_f0_program()
+                   trim_frames, _graph_knobs())
+            f0_key = ("f0", _graph_knobs())
+            if f0_key not in self._fused:
+                self._fused[f0_key] = self._build_f0_program()
             if key not in self._fused:
                 self._fused[key] = self._build_fused(use_index, dtype,
                                                      _f16_out(), trim_frames)
-            f0 = self._fused["f0"](rmvpe.variables, audio, ps_j, ats_j)
+            f0 = self._fused[f0_key](rmvpe.variables, audio, ps_j, ats_j)
             if use_index:
                 out = self._fused[key](
                     self.synth_variables, self.hubert_variables, audio, f0,

@@ -184,10 +184,24 @@ class WebUIServer:
             await self._server.serve_forever()
 
     def serve_in_thread(self) -> threading.Thread:
+        self._error = None
+
         def run():
-            asyncio.run(self.serve())
+            try:
+                asyncio.run(self.serve())
+            except BaseException as e:  # surfaced to the caller below
+                self._error = e
+                self._started.set()
 
         t = threading.Thread(target=run, daemon=True)
         t.start()
         self._started.wait(timeout=10)
+        if self._error is not None:
+            raise RuntimeError(
+                f"web client failed to start on {self.host}:{self.port}"
+            ) from self._error
+        if self._server is None:
+            raise RuntimeError(
+                f"web client did not start listening on "
+                f"{self.host}:{self.port} within 10 s")
         return t

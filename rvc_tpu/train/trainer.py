@@ -403,6 +403,25 @@ class RVCTrainer:
         warmup = self.cfg.train.warmup_epochs if warmup_epochs is None else warmup_epochs
         history = []
         prev_handler = self._install_preempt_handler()
+        try:
+            self._train_epochs(epochs, warmup, save_every, history)
+        finally:
+            # restore the previous SIGTERM handler even when an epoch
+            # raises — otherwise a dead trainer keeps intercepting the
+            # scheduler's eviction signal for the rest of the process
+            if prev_handler is not None:
+                import signal
+
+                signal.signal(signal.SIGTERM, prev_handler)
+        self.save_checkpoint("last")
+        self.tracker.close()
+        return {"epochs_run": len(history), "history": history,
+                "best_loss": self.best_loss,
+                "preempted": bool(getattr(self, "_preempt_agreed", False)
+                                  or getattr(self, "_preempt", False))}
+
+    def _train_epochs(self, epochs: int, warmup: int, save_every: int,
+                      history: list) -> None:
         for _ in range(epochs):
             t0 = time.time()
             adversarial = self.epoch >= warmup
@@ -427,13 +446,19 @@ class RVCTrainer:
                 break
             if self._preempt_requested():
                 # record the cross-host AGREED decision: the signal may
-                # have landed on a peer only
+                # have landed on a peer only. Increment the epoch FIRST
+                # so the checkpoint's epoch metadata matches the regular
+                # save path (which saves after the increment) — resuming
+                # continues with the next epoch instead of re-running the
+                # one that just completed.
                 self._preempt_agreed = True
-                self.save_checkpoint(f"preempt_epoch_{self.epoch:04d}")
+                done = self.epoch
+                self.epoch += 1
+                self.save_checkpoint(f"preempt_epoch_{done:04d}")
                 if self._is_main:
-                    print(f"preemption requested: checkpointed at epoch "
-                          f"{self.epoch}, stopping cleanly (resume with "
-                          f"trainer.resume('preempt_epoch_{self.epoch:04d}'))")
+                    print(f"preemption requested: checkpointed after epoch "
+                          f"{done}, stopping cleanly (resume with "
+                          f"trainer.resume('preempt_epoch_{done:04d}'))")
                 break
             self.epoch += 1
             if self.epoch % save_every == 0:
@@ -443,13 +468,3 @@ class RVCTrainer:
                         self.checkpoint_dir,
                         f"{self.model_name}_{self.epoch}e.safetensors"))
                 self.render_eval_audio()
-        if prev_handler is not None:
-            import signal
-
-            signal.signal(signal.SIGTERM, prev_handler)
-        self.save_checkpoint("last")
-        self.tracker.close()
-        return {"epochs_run": len(history), "history": history,
-                "best_loss": self.best_loss,
-                "preempted": bool(getattr(self, "_preempt_agreed", False)
-                                  or getattr(self, "_preempt", False))}
