@@ -60,11 +60,13 @@ def _add_infer_args(p):
     p.add_argument("--formant_qfrency", type=float, default=1.0)
     p.add_argument("--formant_timbre", type=float, default=1.0)
     p.add_argument("--post_process", action="store_true")
-    # pedalboard-parity FX flag set (reference rvc_cli.py infer flags)
-    for flag in ("reverb", "limiter", "gain", "distortion", "chorus",
-                 "bitcrush", "clipping", "compressor", "delay"):
+    # pedalboard-parity FX flag set (reference rvc_cli.py infer flags,
+    # incl. --pitch_shift/--pitch_shift_semitones at rvc_cli.py:78,93)
+    for flag in ("reverb", "pitch_shift", "limiter", "gain", "distortion",
+                 "chorus", "bitcrush", "clipping", "compressor", "delay"):
         p.add_argument(f"--{flag}", action="store_true")
     for flag, d in (
+        ("pitch_shift_semitones", 0.0),
         ("reverb_room_size", 0.5), ("reverb_damping", 0.5),
         ("reverb_wet_level", 0.33), ("reverb_dry_level", 0.4),
         ("reverb_width", 1.0), ("reverb_freeze_mode", 0.0),
@@ -81,7 +83,8 @@ def _add_infer_args(p):
 
 
 _FX_KEYS = (
-    "reverb", "limiter", "gain", "distortion", "chorus", "bitcrush",
+    "reverb", "pitch_shift", "pitch_shift_semitones", "limiter", "gain",
+    "distortion", "chorus", "bitcrush",
     "clipping", "compressor", "delay",
     "reverb_room_size", "reverb_damping", "reverb_wet_level",
     "reverb_dry_level", "reverb_width", "reverb_freeze_mode",

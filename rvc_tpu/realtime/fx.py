@@ -2,9 +2,10 @@
 
 Native replacement for the pedalboard (JUCE C++) chain the reference
 wires in (`rvc_mlx/realtime/core.py:86-144`; same flag surface as
-`rvc_cli.py`'s post_process options): reverb, limiter, gain, distortion,
-chorus, bitcrush, clipping, compressor, delay. DSP in vectorized
-numpy/scipy — streaming-safe (stateless per block except where noted).
+`rvc_cli.py`'s post_process options): reverb, pitch shift, limiter,
+gain, distortion, chorus, bitcrush, clipping, compressor, delay. DSP in
+vectorized numpy/scipy — streaming-safe (stateless per block except
+where noted).
 """
 
 from __future__ import annotations
@@ -107,6 +108,70 @@ def chorus_fx(rate_hz: float = 1.0, depth: float = 0.25,
     return fn
 
 
+def _wsola_stretch(x: np.ndarray, sr: int, rate: float,
+                   win_s: float = 0.05, tol_s: float = 0.0075) -> np.ndarray:
+    """Waveform-similarity overlap-add time stretch (duration / rate,
+    pitch preserved). Each synthesis frame's analysis position is
+    refined within +-tol by cross-correlation against the natural
+    continuation of the previous frame, so harmonic phase stays aligned
+    across the overlap — the standard WSOLA construction."""
+    if abs(rate - 1.0) < 1e-9 or len(x) == 0:
+        return x.copy()
+    W = max(256, int(round(win_s * sr)) & ~1)  # even window
+    H = W // 2                                 # synthesis hop (50% OLA)
+    tol = max(1, int(round(tol_s * sr)))
+    win = np.hanning(W).astype(np.float64)
+    n_out = int(round(len(x) / rate))
+    n_frames = max(1, (n_out - W) // H + 1)
+    xp = np.pad(x.astype(np.float64), (tol, W + tol))
+    out = np.zeros(n_out + W, dtype=np.float64)
+    norm = np.zeros(n_out + W, dtype=np.float64)
+
+    # natural continuation of the previously committed frame: the
+    # segment that WOULD follow it in the input, advanced by H
+    prev_start = tol  # position in xp of frame 0 (delta = 0)
+    for k in range(n_frames):
+        nominal = int(round(k * H * rate)) + tol
+        if k == 0:
+            start = nominal
+        else:
+            target = xp[prev_start + H : prev_start + H + W]
+            lo = max(nominal - tol, 0)
+            seg = xp[lo : nominal + tol + W]
+            # valid cross-correlation of the target against each lag
+            cc = np.correlate(seg, target, mode="valid")
+            start = lo + int(np.argmax(cc))
+        frame = xp[start : start + W]
+        pos = k * H
+        out[pos : pos + W] += frame * win
+        norm[pos : pos + W] += win
+        prev_start = start
+    out = out[:n_out] / np.maximum(norm[:n_out], 1e-8)
+    return out.astype(x.dtype, copy=False)
+
+
+def pitch_shift_fx(semitones: float = 0.0):
+    """Pedalboard-PitchShift equivalent (`rvc/infer/infer.py:146-148`):
+    shift pitch by `semitones` while preserving duration — WSOLA
+    time-stretch by the pitch ratio, then polyphase resample back to the
+    original length (rational approximation error < 0.2 cents)."""
+    from fractions import Fraction
+
+    def fn(x, sr):
+        if abs(semitones) < 1e-6:
+            return x
+        r = 2.0 ** (semitones / 12.0)
+        y = _wsola_stretch(np.asarray(x, dtype=np.float32), sr, 1.0 / r)
+        frac = Fraction(1.0 / r).limit_denominator(256)
+        y = sp.resample_poly(y, frac.numerator, frac.denominator)
+        # exact length restore (rational rounding leaves a few samples)
+        if len(y) >= len(x):
+            return y[: len(x)].astype(np.float32)
+        return np.pad(y, (0, len(x) - len(y))).astype(np.float32)
+
+    return fn
+
+
 def reverb_fx(room_size: float = 0.5, damping: float = 0.5,
               wet_level: float = 0.33, dry_level: float = 0.4,
               width: float = 1.0, freeze_mode: float = 0.0):
@@ -157,6 +222,10 @@ def build_fx_chain(**kwargs) -> FXChain:
             kwargs.get("reverb_room_size", 0.5), kwargs.get("reverb_damping", 0.5),
             kwargs.get("reverb_wet_level", 0.33), kwargs.get("reverb_dry_level", 0.4),
             kwargs.get("reverb_width", 1.0), kwargs.get("reverb_freeze_mode", 0)))
+    if kwargs.get("pitch_shift"):
+        # reference chain order: PitchShift sits between reverb and
+        # limiter (`rvc/infer/infer.py:146-148`)
+        fx.append(pitch_shift_fx(kwargs.get("pitch_shift_semitones", 0.0)))
     if kwargs.get("limiter"):
         fx.append(limiter_fx(kwargs.get("limiter_threshold", -6),
                              kwargs.get("limiter_release", 50)))

@@ -39,6 +39,60 @@ def test_fx_chain_runs(sine_wave):
     assert np.isfinite(out).all()
 
 
+def _fft_peak_hz(x, sr):
+    w = np.hanning(len(x))
+    spec = np.abs(np.fft.rfft(x * w))
+    freqs = np.fft.rfftfreq(len(x), 1 / sr)
+    k = int(np.argmax(spec))
+    # parabolic interpolation for sub-bin accuracy
+    if 0 < k < len(spec) - 1:
+        a, b, c = np.log(spec[k - 1] + 1e-12), np.log(spec[k] + 1e-12), \
+            np.log(spec[k + 1] + 1e-12)
+        k = k + 0.5 * (a - c) / (a + c - 2 * b)
+    return float(k * sr / len(x))
+
+
+@pytest.mark.parametrize("semitones", [3.0, -4.0])
+def test_fx_pitch_shift_semitones(semitones):
+    """PitchShift FX (`rvc/infer/infer.py:146-148` parity): measured
+    spectral peak moves by the requested semitones within 15 cents and
+    the duration is preserved exactly."""
+    from rvc_tpu.realtime.fx import pitch_shift_fx
+
+    sr = 16000
+    t = np.arange(int(1.0 * sr)) / sr
+    x = (0.5 * np.sin(2 * np.pi * 220 * t)
+         + 0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    out = pitch_shift_fx(semitones)(x, sr)
+    assert out.shape == x.shape
+    assert np.isfinite(out).all()
+    # analyze the interior (edges carry OLA ramp-in)
+    f_in = _fft_peak_hz(x[2000:-2000], sr)
+    f_out = _fft_peak_hz(out[2000:-2000], sr)
+    cents = 1200 * np.log2(f_out / (f_in * 2 ** (semitones / 12)))
+    assert abs(cents) < 15, f"shift off by {cents:.1f} cents"
+    # energy preserved within 3 dB
+    assert 0.5 < np.sqrt(np.mean(out**2)) / np.sqrt(np.mean(x**2)) < 1.5
+
+
+def test_fx_pitch_shift_zero_is_identity():
+    from rvc_tpu.realtime.fx import pitch_shift_fx
+
+    x = np.random.default_rng(0).standard_normal(4000).astype(np.float32)
+    np.testing.assert_array_equal(pitch_shift_fx(0.0)(x, 16000), x)
+
+
+def test_fx_chain_includes_pitch_shift():
+    chain = build_fx_chain(pitch_shift=True, pitch_shift_semitones=2.0)
+    assert len(chain.effects) == 1
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    out = chain(x, sr)
+    f = _fft_peak_hz(out[2000:-2000], sr)
+    assert abs(1200 * np.log2(f / (200 * 2 ** (2 / 12)))) < 20
+
+
 def test_fx_gain_math():
     chain = build_fx_chain(gain=True, gain_db=-6.0)
     x = np.ones(100, dtype=np.float32)
