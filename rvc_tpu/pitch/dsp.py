@@ -1,15 +1,17 @@
-"""DSP pitch extractors (WORLD dio/harvest/pm capability without the C++ dep).
+"""DSP pitch utilities: YIN ("pm"), autocorrelation baselines, StoneMask.
 
 The reference delegates dio/harvest/pm to the pyworld C++ library
-(`rvc_mlx/lib/mlx/pyworld_pitch.py:27`). This module provides native
-vectorized equivalents:
+(`rvc_mlx/lib/mlx/pyworld_pitch.py:27`). The facade's dio/harvest now
+use the WORLD-algorithm implementations in ``world_dsp.py`` (band
+bank + four-interval candidates + refinement); this module keeps:
 
   * ``yin_f0``       -- YIN cumulative-mean-normalized difference with
-                        parabolic interpolation ("pm"-class accuracy)
-  * ``autocorr_f0``  -- FFT autocorrelation peak picking with median
-                        smoothing ("dio"-class)
-  * ``harvest_like_f0`` -- autocorrelation with finer search + stronger
-                        temporal smoothing ("harvest"-class)
+                        parabolic interpolation (the "pm" method)
+  * ``stonemask_refine`` -- spectral-peak StoneMask refinement (applied
+                        after dio, matching ``pw.stonemask``)
+  * ``autocorr_f0`` / ``harvest_like_f0`` -- the round-3
+                        autocorrelation-class baselines, retained as
+                        fast estimators and regression anchors
 
 All operate on float32 numpy at 16 kHz, hop-aligned with the neural
 extractors (hop 160 -> 100 Hz frame rate). If pyworld is importable the

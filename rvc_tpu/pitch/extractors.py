@@ -148,9 +148,10 @@ class PitchExtractor:
                                 frame_period=self._frame_period_ms())
             return pyworld.stonemask(audio.astype(np.float64), f0, t,
                                      self.sample_rate).astype(np.float32)
-        from rvc_tpu.pitch.dsp import autocorr_f0, stonemask_refine
+        from rvc_tpu.pitch.dsp import stonemask_refine
+        from rvc_tpu.pitch.world_dsp import dio_f0
 
-        f0 = autocorr_f0(audio, self.sample_rate, self.hop_size, f0_min, f0_max)
+        f0 = dio_f0(audio, self.sample_rate, self.hop_size, f0_min, f0_max)
         return stonemask_refine(audio, f0, self.sample_rate, self.hop_size)
 
     def _harvest(self, audio, f0_min, f0_max):
@@ -159,9 +160,9 @@ class PitchExtractor:
                                     f0_floor=f0_min, f0_ceil=f0_max,
                                     frame_period=self._frame_period_ms())
             return f0.astype(np.float32)
-        from rvc_tpu.pitch.dsp import harvest_like_f0
+        from rvc_tpu.pitch.world_dsp import harvest_f0
 
-        return harvest_like_f0(audio, self.sample_rate, self.hop_size, f0_min, f0_max)
+        return harvest_f0(audio, self.sample_rate, self.hop_size, f0_min, f0_max)
 
     def _pm(self, audio, f0_min, f0_max):
         from rvc_tpu.pitch.dsp import yin_f0

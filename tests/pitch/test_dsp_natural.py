@@ -1,0 +1,106 @@
+"""Natural-speech bounds for the DSP pitch extractors (VERDICT r3 #9).
+
+The synthetic fixtures in test_dsp_pitch.py can't exercise WORLD's
+differentiators (weak fundamentals, breathy onsets, spectral tilt), so
+this pins each extractor against the REAL 13.5 s benchmark clip
+(`/root/reference/ios_test_data/input_audio.npy`) scored against the
+real pretrained RMVPE's golden contour (`rmvpe_f0.npy`, the reference's
+own parity oracle, `tests/pitch/test_parity.py:316+` analog).
+
+Bounds sit ~safety-margin below the measured r4 values (measured:
+dio agree 0.836 / w100 0.889 / med 23 c; harvest agree 0.787 /
+w100 0.805 / med 12 c; yin prec 1.00 / med 10 c) so regressions in the
+candidate generation, scoring, or octave logic fail loudly.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+FIXTURES = "/root/reference/ios_test_data"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FIXTURES), reason="reference golden fixtures not present")
+
+
+@pytest.fixture(scope="module")
+def clip():
+    a = np.load(os.path.join(FIXTURES, "input_audio.npy")).astype(np.float32)
+    return a.mean(axis=-1) if a.ndim > 1 else a
+
+
+@pytest.fixture(scope="module")
+def gold():
+    return np.load(os.path.join(FIXTURES, "rmvpe_f0.npy")).astype(np.float64)
+
+
+def _score(f0, gold):
+    n = min(len(f0), len(gold))
+    f, g = f0[:n], gold[:n]
+    ev, gv = f > 0, g > 0
+    both = ev & gv
+    cents = 1200.0 * np.log2(f[both] / g[both])
+    return dict(
+        agree=float((ev == gv).mean()),
+        prec=float(both.sum() / max(ev.sum(), 1)),
+        rec=float(both.sum() / max(gv.sum(), 1)),
+        med_cents=float(np.median(np.abs(cents))),
+        within_100c=float((np.abs(cents) < 100).mean()),
+    )
+
+
+def test_dio_natural_speech(clip, gold):
+    from rvc_tpu.pitch.world_dsp import dio_f0
+
+    s = _score(dio_f0(clip), gold)
+    assert s["agree"] > 0.78, s
+    assert s["rec"] > 0.90, s          # DIO over-voices, never misses
+    assert s["med_cents"] < 40.0, s
+    assert s["within_100c"] > 0.82, s  # <18% octave/gross errors
+
+
+def test_dio_stonemask_natural_speech(clip, gold):
+    from rvc_tpu.pitch.dsp import stonemask_refine
+    from rvc_tpu.pitch.world_dsp import dio_f0
+
+    s = _score(stonemask_refine(clip, dio_f0(clip)), gold)
+    assert s["agree"] > 0.78 and s["within_100c"] > 0.80, s
+    assert s["med_cents"] < 40.0, s
+
+
+def test_harvest_natural_speech(clip, gold):
+    from rvc_tpu.pitch.world_dsp import harvest_f0
+
+    s = _score(harvest_f0(clip), gold)
+    assert s["agree"] > 0.72, s
+    assert s["prec"] > 0.75, s
+    assert s["med_cents"] < 30.0, s    # voiced frames land on the f0
+    assert s["within_100c"] > 0.72, s
+
+
+def test_yin_natural_speech(clip, gold):
+    """YIN ("pm"): conservative voicing — near-perfect precision, sharp
+    values on the frames it does call voiced."""
+    from rvc_tpu.pitch.dsp import yin_f0
+
+    s = _score(yin_f0(clip), gold)
+    assert s["prec"] > 0.95, s
+    assert s["rec"] > 0.15, s
+    assert s["med_cents"] < 25.0, s
+    assert s["within_100c"] > 0.9, s
+
+
+def test_cross_method_voiced_consensus(clip, gold):
+    """Where dio AND harvest both call a frame voiced, they land in the
+    same octave class (within 100 cents) on >=70% of those frames — the
+    cross-method sanity the reference checks across its extractor set
+    (measured 0.76 on the r4 implementations)."""
+    from rvc_tpu.pitch.world_dsp import dio_f0, harvest_f0
+
+    d, h = dio_f0(clip), harvest_f0(clip)
+    n = min(len(d), len(h))
+    both = (d[:n] > 0) & (h[:n] > 0)
+    assert both.sum() > 300
+    cents = np.abs(1200.0 * np.log2(d[:n][both] / h[:n][both]))
+    assert (cents < 100).mean() > 0.70, (cents < 100).mean()
