@@ -110,10 +110,18 @@ def _cast_float_tree(tree, dtype):
 def _compute_dtype():
     """Inference compute-dtype policy: RVC_TPU_BF16=1 runs HuBERT +
     retrieval + synthesizer in bfloat16 (f32 accumulation everywhere,
-    f32 f0/sine-phase path). The RMVPE f0 program always stays f32."""
+    f32 f0/sine-phase path). The RMVPE f0 program always stays f32.
+
+    Default ON for TPU serving (r4): the pipeline is HBM-bandwidth
+    bound and the policy is parity-validated (spec-corr 0.9995 vs f32;
+    the bench self-check re-verifies the benched configuration against
+    the staged f32 path every run). OFF elsewhere — CPU tests compare
+    against torch f32 oracles."""
     import os as _os
 
-    return jnp.bfloat16 if _os.environ.get("RVC_TPU_BF16", "0") == "1" else jnp.float32
+    default = "1" if jax.default_backend() == "tpu" else "0"
+    return (jnp.bfloat16 if _os.environ.get("RVC_TPU_BF16", default) == "1"
+            else jnp.float32)
 
 
 def _f16_out() -> bool:

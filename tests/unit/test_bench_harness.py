@@ -27,8 +27,11 @@ def test_bench_main_tiny(tmp_path, capsys, monkeypatch):
             if l.startswith("{")][-1]
     rec = json.loads(line)
     assert rec["value"] > 0 and rec["index_off_rtf"] > 0
-    assert (rec["fused_vs_staged_wave_corr"] > 0.995
-            or rec["fused_vs_staged_spec_corr"] > 0.95)
+    # r4 self-check is an AND on both metrics, both legs (bench.py
+    # asserts internally too; this re-checks the reported numbers)
+    assert rec["exact_wave_corr"] > 0.995 and rec["exact_spec_corr"] > 0.95
+    assert rec["policy_spec_corr"] > 0.95
+    assert rec["compute_dtype"] in ("float32", "bfloat16")
     assert rec["device_ms_per_clip"] > 0
     assert 0.0 <= rec["link_host_share"] <= 1.0
     assert rec["index_vectors"] == 512
