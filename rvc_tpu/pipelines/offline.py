@@ -305,11 +305,16 @@ class Pipeline:
             feats_raw = feats
             if use_index:
                 vectors, vec_sq, list_ids, centroids = index_arrays
-                d, i = _ivf_search(feats[0], vectors, vec_sq, list_ids,
+                # flatten (B, T', C) -> (B*T', C): the masked-matmul IVF
+                # search is per-query, so batched chunks share one search
+                # (exact reshape no-op at B=1)
+                Bq, Tq, Cq = feats.shape
+                q = feats.reshape(Bq * Tq, Cq)
+                d, i = _ivf_search(q, vectors, vec_sq, list_ids,
                                    centroids, 8, nprobe)
                 # the index stays f32; re-enter the compute dtype after blend
-                feats = index_blend(feats[0], vectors[i], d,
-                                    index_rate)[None].astype(compute_dtype)
+                feats = index_blend(q, vectors[i], d, index_rate).reshape(
+                    Bq, Tq, Cq).astype(compute_dtype)
 
             # the x2-upsampled HuBERT grid falls up to 2 frames short of
             # the 10 ms frame count (conv valid-window shortfall at the
@@ -580,9 +585,88 @@ class Pipeline:
             return out, p_len, trim_frames
         return self._materialize(out, p_len, trim_frames)
 
+    def fused_convert_batch(
+        self,
+        chunks: list,
+        sid: int,
+        pitch_shift: float,
+        autotune_strength: float,
+        protect: float,
+        index: Optional[IVFFlatIndex],
+        index_rate: float,
+        trim_frames: int = 0,
+    ):
+        """Convert several SAME-BUCKET padded chunks as ONE batched
+        dispatch (RVC_TPU_CHUNK_BATCH serving mode): on a remote-
+        dispatch link every execute/fetch carries fixed RPC overhead,
+        so B chunks per call divide that overhead by B where the
+        deferred-dispatch path can only overlap it. Retrieval, f0, the
+        protect blend and the synthesizer all run batched inside the
+        same packed program (the B=1 graph is the exact same code).
+
+        Returns (device_out (B, T), p_lens list, trim_frames); feed each
+        row to _materialize."""
+        rmvpe = self._get_rmvpe()
+        self._rmvpe_model = rmvpe.model
+        n_pad = max(self._bucket_samples(len(c)) for c in chunks)
+        in_dtype = np.float16 if _f16_in() else np.float32
+        with trace_span("host/pad+upload_batch"):
+            rows = [np.pad(c.astype(np.float32), (0, n_pad - len(c)),
+                           mode="reflect" if n_pad - len(c) < len(c)
+                           else "constant") for c in chunks]
+            audio = jnp.asarray(np.stack(rows).astype(in_dtype))
+        p_lens = [len(c) // self.window for c in chunks]
+        use_index = index is not None and index_rate > 0
+        p_len_j = jnp.asarray(p_lens, np.int32)
+        sid_j = jnp.asarray([sid] * len(chunks), np.int32)
+        ps_j = self._dev_scalar("pitch_shift", float(pitch_shift),
+                                np.float32, vec=False)
+        ats_j = self._dev_scalar("autotune_strength",
+                                 float(autotune_strength), np.float32,
+                                 vec=False)
+        prot_j = self._dev_scalar("protect", float(protect), np.float32,
+                                  vec=False)
+        ir_j = self._dev_scalar("index_rate", float(index_rate), np.float32,
+                                vec=False)
+
+        fns = self._get_packed(use_index, rmvpe, trim_frames)
+        sb, hb, rb = self._packed["bufs"]
+        if len(fns) == 1:
+            with trace_span("dispatch/all_program_batch"):
+                if use_index:
+                    out = fns[0](sb, hb, rb, audio, ps_j, ats_j, sid_j,
+                                 p_len_j, prot_j, ir_j, index._dev(),
+                                 nprobe=index.nprobe)
+                else:
+                    out = fns[0](sb, hb, rb, audio, ps_j, ats_j, sid_j,
+                                 p_len_j, prot_j)
+        else:
+            f0p, convp = fns
+            f0 = f0p(rb, audio, ps_j, ats_j)
+            if use_index:
+                out = convp(sb, hb, audio, f0, sid_j, p_len_j, prot_j,
+                            ir_j, index._dev(), nprobe=index.nprobe)
+            else:
+                out = convp(sb, hb, audio, f0, sid_j, p_len_j, prot_j)
+        import os as _os
+
+        if _os.environ.get("RVC_TPU_ASYNC_FETCH", "1") == "1":
+            try:
+                out.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+        return out, p_lens, trim_frames
+
     def _materialize(self, out, p_len: int, trim_frames: int = 0) -> np.ndarray:
         out = np.asarray(out)[0].astype(np.float32)
         return out[: max(p_len - 2 * trim_frames, 0) * (self.tgt_sr // 100)]
+
+    def _materialize_batch(self, out, p_lens: list,
+                           trim_frames: int = 0) -> list:
+        host = np.asarray(out).astype(np.float32)
+        spf = self.tgt_sr // 100
+        return [host[b][: max(p - 2 * trim_frames, 0) * spf]
+                for b, p in enumerate(p_lens)]
 
     def refresh(self) -> None:
         """Drop cached compiled programs (call after swapping weights)."""
@@ -791,6 +875,39 @@ class Pipeline:
         fused_ok = (pitch_guidance and f0_method == "rmvpe"
                     and input_f0 is None and not proposed_pitch
                     and self.cfg_use_f0)
+        import os as _os
+
+        if (fused_ok and len(bounds) > 1
+                and _os.environ.get("RVC_TPU_CHUNK_BATCH", "0") == "1"):
+            # serving mode: same-bucket chunks convert as ONE batched
+            # dispatch (one execute + one fetch RPC for the whole group
+            # instead of per-chunk pairs — the remote link's per-call
+            # overhead is the measured majority of wall time). Groups
+            # stay consecutive so reassembly order is trivial.
+            chunks = [audio_pad_full[s : e + 2 * t_pad] for s, e in bounds]
+            groups = []
+            for c in chunks:
+                b = self._bucket_samples(len(c))
+                if groups and groups[-1][0] == b:
+                    groups[-1][1].append(c)
+                else:
+                    groups.append((b, [c]))
+            out_chunks = []
+            for _, group in groups:
+                handle = self.fused_convert_batch(
+                    group, sid, pitch_shift,
+                    f0_autotune_strength if f0_autotune else 0.0,
+                    protect, index, index_rate,
+                    trim_frames=t_pad // self.window)
+                out_chunks.extend(self._materialize_batch(*handle))
+            audio_out = np.concatenate(out_chunks)
+            with trace_span("host/post"):
+                if volume_envelope != 1:
+                    audio_out = audio_utils.change_rms(
+                        audio, SAMPLE_RATE, audio_out, self.tgt_sr,
+                        volume_envelope)
+                return audio_utils.peak_normalize(audio_out, 0.99)
+
         # dispatch every chunk first (device handles), materialize after:
         # chunk i's D2H transfer overlaps chunk i+1's compute
         pending = []
