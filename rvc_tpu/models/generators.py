@@ -47,7 +47,13 @@ def _stage_resblocks(module, x, chan, kernel_sizes, dilation_sizes,
             resblock_group,
         )
 
-        if fused_resblock_enabled() and _sub_channels(chan) <= 2 * LANE:
+        # group kernel only up to C'=128: the C=256 first stage's
+        # concatenated tap bank is (126, 256, 256) bf16 = 16.5 MB —
+        # alone at the 16 MB scoped-VMEM limit, and under the bf16
+        # serving policy the surrounding fusion placement pushed the
+        # compile over it (v5e, r4). C=256 falls through to standalone
+        # ResBlocks, whose per-block chain kernel banks are ~5.5 MB.
+        if fused_resblock_enabled() and _sub_channels(chan) <= LANE:
             weights = []
             for j in range(n_kernels):
                 sub = module.scope.get_variable(

@@ -8,7 +8,7 @@ correlation (the reference's headline parity metric,
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -64,18 +64,32 @@ def mel_cepstral_distortion(ref: np.ndarray, est: np.ndarray, sr: int) -> float:
 
 
 def spectrogram_correlation(ref: np.ndarray, est: np.ndarray,
-                            n_fft: int = 2048, hop: int = 512) -> float:
+                            n_fft: int = 2048, hop: int = 512,
+                            top_db: Optional[float] = None) -> float:
     """Pearson correlation of log-magnitude spectrograms — the reference's
-    perceptual-parity bar is > 0.95 (`benchmark_audio_parity.py:438`)."""
-    def spec(a):
+    perceptual-parity bar is > 0.95 (`benchmark_audio_parity.py:438`).
+
+    top_db: optional dynamic-range cap (librosa-style): magnitudes are
+    floored at ref's peak magnitude * 10^(-top_db/20) in BOTH signals
+    before the log. Without it, bins ~180 dB below peak dominate the
+    correlation with float noise — two waveforms with 0.999 sample
+    correlation can score 0.5 purely from sub-audible-bin log spread.
+    Use top_db=80 when comparing reduced-precision paths; leave None
+    for the reference-semantics metric."""
+    def mag(a):
         a = np.asarray(a, dtype=np.float64)
         n = 1 + max(0, (len(a) - n_fft)) // hop
         idx = np.arange(n_fft)[None, :] + hop * np.arange(n)[:, None]
         frames = a[idx] * np.hanning(n_fft)
-        return np.log(np.abs(np.fft.rfft(frames, axis=1)) + 1e-8)
+        return np.abs(np.fft.rfft(frames, axis=1))
 
     n = min(len(ref), len(est))
-    s1, s2 = spec(ref[:n]).ravel(), spec(est[:n]).ravel()
+    m1, m2 = mag(ref[:n]), mag(est[:n])
+    floor = 1e-8
+    if top_db is not None:
+        floor = max(float(m1.max()) * 10.0 ** (-top_db / 20.0), 1e-8)
+    s1 = np.log(np.maximum(m1, floor)).ravel()
+    s2 = np.log(np.maximum(m2, floor)).ravel()
     if s1.std() < 1e-9 or s2.std() < 1e-9:
         return 0.0
     return float(np.corrcoef(s1, s2)[0, 1])

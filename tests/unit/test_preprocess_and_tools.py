@@ -178,6 +178,13 @@ def test_voice_metrics(sine_wave):
     c = spectrogram_correlation(y, noisy)
     assert 0.0 < c < 0.9
     assert mel_cepstral_distortion(y, y, sr) < 1e-6
+    # top_db caps the dynamic range: sub-floor float noise (inaudible,
+    # >80 dB below peak) must not crush the capped metric, while the
+    # uncapped reference-semantics metric stays sensitive to it
+    tiny = y + 1e-6 * np.random.default_rng(1).standard_normal(
+        len(y)).astype(np.float32)
+    assert spectrogram_correlation(y, tiny, top_db=80.0) > 0.999
+    assert spectrogram_correlation(y, tiny) < 0.9
     f0a = np.array([100.0, 100, 0, 200])
     f0b = np.array([101.0, 99, 0, 400])
     m = f0_accuracy(f0a, f0b)
