@@ -39,12 +39,18 @@ def rtt_and_d2h():
     rtt = (time.perf_counter() - t0) / n
 
     big = jax.device_put(np.zeros(4 << 20, np.float16), dev)  # 8 MB
-    jax.block_until_ready(big)
-    np.asarray(big)
+    bump = jax.jit(lambda a, i: a + i.astype(a.dtype))
+    jax.block_until_ready(bump(big, jnp.float32(0)))
     t0 = time.perf_counter()
-    for _ in range(5):
-        np.asarray(big)
-    d2h_mbps = 5 * big.nbytes / 1e6 / (time.perf_counter() - t0)
+    n_big = 5
+    for i in range(n_big):
+        # fresh output each round — re-fetching the SAME array returns
+        # the cached host copy and measures memcpy, not the link
+        np.asarray(bump(big, jnp.float32(i + 1)))
+    # includes one execute RTT per round; subtract the measured RTT so
+    # the number approximates pure transfer throughput
+    per = (time.perf_counter() - t0) / n_big - rtt
+    d2h_mbps = big.nbytes / 1e6 / max(per, 1e-9)
     return rtt, d2h_mbps
 
 
