@@ -433,7 +433,7 @@ def stage_roofline(rvc, chunk: np.ndarray, deep: int = 8) -> dict:
     return result
 
 
-def main(duration: float = 13.5, runs: int = 5, deep: int = 6,
+def main(duration: float = 13.5, runs: int = 5, deep: int = 16,
          cfg_kwargs: dict = None, n_vectors: int = N_INDEX_VECTORS,
          cache_index: bool = True):
     """Defaults are the production driver bench; tests call with tiny
