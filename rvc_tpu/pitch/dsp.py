@@ -37,7 +37,7 @@ def yin_f0(
     hop: int = 160,
     f0_min: float = 50.0,
     f0_max: float = 1100.0,
-    threshold: float = 0.15,
+    threshold: float = 0.25,
     frame_length: int = 1024,
 ) -> np.ndarray:
     """YIN: cumulative mean normalized difference function, absolute

@@ -80,15 +80,17 @@ def test_harvest_natural_speech(clip, gold):
 
 
 def test_yin_natural_speech(clip, gold):
-    """YIN ("pm"): conservative voicing — near-perfect precision, sharp
-    values on the frames it does call voiced."""
+    """YIN ("pm"): conservative voicing — high precision, sharp values
+    on the frames it does call voiced (r4 default threshold 0.25:
+    measured prec 0.978 / rec 0.50 / med 15.7 c on the real clip; the
+    old 0.15 default had rec 0.27)."""
     from rvc_tpu.pitch.dsp import yin_f0
 
     s = _score(yin_f0(clip), gold)
     assert s["prec"] > 0.95, s
-    assert s["rec"] > 0.15, s
+    assert s["rec"] > 0.40, s
     assert s["med_cents"] < 25.0, s
-    assert s["within_100c"] > 0.9, s
+    assert s["within_100c"] > 0.80, s
 
 
 def test_cross_method_voiced_consensus(clip, gold):
