@@ -45,6 +45,8 @@ def build_block_program(pipe, *, sf, bf, F, skip, ret, spf, win, L,
     from rvc_tpu.retrieval.ivf import _ivf_search, index_blend
     from rvc_tpu.utils.packing import unpack_tree
 
+    from rvc_tpu.pipelines.offline import _compute_dtype
+
     rmvpe = pipe._get_rmvpe()
     pipe._rmvpe_model = rmvpe.model
     pipe._get_packed(False, rmvpe)  # ensure packed buffers exist
@@ -52,6 +54,11 @@ def build_block_program(pipe, *, sf, bf, F, skip, ret, spf, win, L,
     synth = pipe.synthesizer
     hubert = pipe.hubert
     rmvpe_model = rmvpe.model
+    # same serving compute-dtype policy as the offline fused path: the
+    # packed buffers already ship in this dtype; running HuBERT/enc_p/
+    # flow activations in it too (decoder activations and the whole f0
+    # path stay f32 inside Synthesizer.infer / the RMVPE head)
+    compute_dtype = _compute_dtype()
     use_pallas = (os.environ.get(
         "RVC_TPU_PALLAS_MEL",
         "1" if jax.default_backend() == "tpu" else "0") == "1")
@@ -86,7 +93,7 @@ def build_block_program(pipe, *, sf, bf, F, skip, ret, spf, win, L,
         new_pitchf = jnp.concatenate(
             [pitchf_prev[:, bf : bf + (F - n_tail)], f0], axis=1)
 
-        feats = hubert.apply(hubert_vars, audio,
+        feats = hubert.apply(hubert_vars, audio.astype(compute_dtype),
                              output_hidden_states=True)
         feats_raw = feats
         if use_index:
@@ -94,7 +101,8 @@ def build_block_program(pipe, *, sf, bf, F, skip, ret, spf, win, L,
             q = feats.reshape(-1, feats.shape[-1])
             d, i = _ivf_search(q, vectors, vec_sq, list_ids,
                                centroids, 8, nprobe)
-            feats = index_blend(q, vectors[i], d, ir).reshape(feats.shape)
+            feats = index_blend(q, vectors[i], d, ir).reshape(
+                feats.shape).astype(compute_dtype)
         t_feat = feats.shape[1] * 2
         pf = new_pitchf[:, :t_feat]
         if t_feat > F:
