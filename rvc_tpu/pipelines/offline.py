@@ -151,7 +151,8 @@ def _graph_knobs() -> tuple:
 
     return tuple(_os.environ.get(k, "") for k in (
         "RVC_TPU_PALLAS_MEL", "RVC_TPU_PALLAS_RESBLOCK",
-        "RVC_TPU_PALLAS_ATTN", "RVC_TPU_BF16_F0"))
+        "RVC_TPU_PALLAS_ATTN", "RVC_TPU_BF16_F0",
+        "RVC_TPU_SOURCE_NOISE"))
 
 
 def _one_dispatch() -> bool:
@@ -892,13 +893,20 @@ class Pipeline:
                     groups[-1][1].append(c)
                 else:
                     groups.append((b, [c]))
-            out_chunks = []
+            # dispatch every group first, materialize after — same
+            # pending/materialize split as the default path, so group
+            # i's D2H overlaps group i+1's compute (advisor r4: blocking
+            # per-group materialization lost cross-group overlap on
+            # clips whose chunks straddle buckets)
+            handles = []
             for _, group in groups:
-                handle = self.fused_convert_batch(
+                handles.append(self.fused_convert_batch(
                     group, sid, pitch_shift,
                     f0_autotune_strength if f0_autotune else 0.0,
                     protect, index, index_rate,
-                    trim_frames=t_pad // self.window)
+                    trim_frames=t_pad // self.window))
+            out_chunks = []
+            for handle in handles:
                 out_chunks.extend(self._materialize_batch(*handle))
             audio_out = np.concatenate(out_chunks)
             with trace_span("host/post"):

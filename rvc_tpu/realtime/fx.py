@@ -138,9 +138,14 @@ def _wsola_stretch(x: np.ndarray, sr: int, rate: float,
             target = xp[prev_start + H : prev_start + H + W]
             lo = max(nominal - tol, 0)
             seg = xp[lo : nominal + tol + W]
-            # valid cross-correlation of the target against each lag
+            # NORMALIZED cross-correlation: divide by each candidate
+            # window's L2 norm so the pick is best waveform similarity,
+            # not highest energy (unnormalized CC biases toward loud
+            # lags on amplitude-modulated speech — advisor r4)
             cc = np.correlate(seg, target, mode="valid")
-            start = lo + int(np.argmax(cc))
+            e = np.cumsum(np.concatenate(([0.0], seg * seg)))
+            seg_norm = np.sqrt(np.maximum(e[W:] - e[:-W], 1e-12))
+            start = lo + int(np.argmax(cc / seg_norm[: len(cc)]))
         frame = xp[start : start + W]
         pos = k * H
         out[pos : pos + W] += frame * win
