@@ -120,8 +120,13 @@ def _corrs(staged: np.ndarray, fused: np.ndarray, top_db=None) -> tuple:
 def self_check(rvc, audio, check_seconds: float = 4.0) -> dict:
     """Two-leg fused-vs-staged equivalence check (see main()'s comment).
 
-    Returns {exact,policy}_{spec,wave}_corr and ASSERTS the bars:
-    exact leg wave>0.995 AND spec>0.95; policy leg spec>0.95."""
+    Returns {exact,policy}_{spec,wave}_corr plus the reference's EXACT
+    80-mel log-power metric (`benchmark_audio_parity.py:396-419`) as
+    {exact,policy,policy_index}_logmel_corr, and ASSERTS the bars:
+    exact leg wave>0.995 AND spec>0.95; policy legs (retrieval on AND
+    off) hold the reference's own perceptual bar logmel>0.95
+    (`:438-441`) AND wave>0.995, with the strict linear-spec metric kept
+    as a reported 0.85 tripwire."""
     import jax
     import jax.numpy as jnp
 
@@ -222,33 +227,46 @@ def self_check(rvc, audio, check_seconds: float = 4.0) -> dict:
                           lambda: run_fused(use_index=False))
     policy_on = with_env({"RVC_TPU_ONE_DISPATCH": "0"}, run_fused)
 
+    from rvc_tpu.monitoring.voice_metrics import log_mel_correlation
+
+    tgt_sr = pl.tgt_sr
     e_corr, e_wcorr = _corrs(staged, exact)
-    # bf16-vs-f32 comparisons cap the metric's dynamic range at 80 dB
-    # below peak (librosa-style) so it scores audible content: without
-    # the cap, bins >80 dB down flap in log space at bf16 epsilon
-    # (measured on-TPU: wave_corr 0.9991 yet raw spec_corr 0.52)
+    # bf16-vs-f32 comparisons cap the strict metric's dynamic range at
+    # 80 dB below peak (librosa-style) so it scores audible content:
+    # without the cap, bins >80 dB down flap in log space at bf16
+    # epsilon (measured on-TPU: wave_corr 0.9991 yet raw spec_corr 0.52)
     p_corr, p_wcorr = _corrs(staged_off, policy_off, top_db=80.0)
     pi_corr, pi_wcorr = _corrs(staged, policy_on, top_db=80.0)
+    # the reference's own perceptual metric (80-mel log-power dB,
+    # per-signal peak ref, 80 dB floor — benchmark_audio_parity.py:
+    # 396-419) with its own 0.95 pass bar (:438). The strict
+    # spectrogram_correlation above is 1025 LINEAR-frequency
+    # log-magnitude bins — a materially harder metric that this repo
+    # keeps as an engineering tripwire; the serving-policy gate is the
+    # reference's bar measured the reference's way.
+    e_lcorr = log_mel_correlation(staged, exact, tgt_sr)
+    p_lcorr = log_mel_correlation(staged_off, policy_off, tgt_sr)
+    pi_lcorr = log_mel_correlation(staged, policy_on, tgt_sr)
     assert e_wcorr > 0.995 and e_corr > 0.95, (
         f"fused f32 graph diverged from staged path: "
         f"spec_corr={e_corr} wave_corr={e_wcorr}")
-    # policy-leg bars: waveform corr is the precision gate; the spectral
-    # floor is 0.85, NOT the reference's 0.95 perceptual bar, because
-    # random in-env weights are chaotic amplifiers — a ~1e-3 bf16
-    # feature perturbation through an UNTRAINED 12-layer transformer +
-    # flow legitimately reshuffles low-level spectral detail (measured
-    # on-TPU: wave 0.9991 / spec@80dB 0.871, retrieval on or off, while
-    # the same policy holds spec>0.99 on the trained-free CPU oracle
-    # test test_bf16_policy_matches_f32). With real checkpoints the
-    # 0.95 bar applies via benchmarks/audio_parity.py; the f32 exact
-    # leg above holds it unconditionally.
-    assert p_corr > 0.85 and p_wcorr > 0.995, (
+    # policy-leg bars (VERDICT r4 #2): the production bf16+Pallas
+    # configuration must hold the reference's 0.95 perceptual bar
+    # on-chip, retrieval on AND off, plus the wave-corr precision gate;
+    # the strict linear-spec floor stays as a secondary tripwire.
+    assert p_lcorr > 0.95 and p_wcorr > 0.995 and p_corr > 0.85, (
         f"production-policy numerics regressed vs the f32 oracle: "
-        f"spec_corr={p_corr} wave_corr={p_wcorr}")
+        f"logmel_corr={p_lcorr} wave_corr={p_wcorr} spec_corr={p_corr}")
+    assert pi_lcorr > 0.95 and pi_wcorr > 0.995, (
+        f"production-policy (retrieval ON) regressed vs the f32 oracle: "
+        f"logmel_corr={pi_lcorr} wave_corr={pi_wcorr}")
     return dict(exact_spec_corr=e_corr, exact_wave_corr=e_wcorr,
+                exact_logmel_corr=e_lcorr,
                 policy_spec_corr=p_corr, policy_wave_corr=p_wcorr,
+                policy_logmel_corr=p_lcorr,
                 policy_index_spec_corr=pi_corr,
-                policy_index_wave_corr=pi_wcorr)
+                policy_index_wave_corr=pi_wcorr,
+                policy_index_logmel_corr=pi_lcorr)
 
 
 def chip_peaks() -> dict:
@@ -349,8 +367,12 @@ def stage_roofline(rvc, chunk: np.ndarray, deep: int = 8) -> dict:
 
     from rvc_tpu.pipelines.offline import _compute_dtype, _f16_out
 
+    # analytic FLOPs are counted on the CANONICAL graph (packed-U-Net
+    # off): the packed evaluation trades extra structural-zero FLOPs
+    # for lane utilization, and the roofline's numerator should be the
+    # ALGORITHM's FLOPs, not the layout trick's
     pallas_off = {"RVC_TPU_PALLAS_MEL": "0", "RVC_TPU_PALLAS_RESBLOCK": "0",
-                  "RVC_TPU_PALLAS_ATTN": "0"}
+                  "RVC_TPU_PALLAS_ATTN": "0", "RVC_TPU_PACKED_UNET": "0"}
     prev_env = {k: os.environ.get(k) for k in pallas_off}
     os.environ.update(pallas_off)
     try:
@@ -433,9 +455,122 @@ def stage_roofline(rvc, chunk: np.ndarray, deep: int = 8) -> dict:
     return result
 
 
+def bench_realtime(rvc, runs: int = 9) -> dict:
+    """Realtime block leg (VERDICT r4 #6): the production VoiceChanger
+    512 ms @ 48 kHz block program (SOLA + fused conversion, bf16 policy
+    where enabled), timed end-to-end per block on this chip. Reported
+    in the driver-captured record so the realtime story has a verified
+    artifact (previously only quoted from ad-hoc script sessions)."""
+    import time
+
+    from rvc_tpu.realtime.core import VoiceChanger
+
+    vc = VoiceChanger(rvc, read_chunk_size=192,
+                      cross_fade_overlap_size=0.1, extra_convert_size=0.5)
+    block = (0.1 * np.random.default_rng(0)
+             .standard_normal(192 * 128)).astype(np.float32)
+    for _ in range(2):
+        vc.process_audio(block)  # compile + warm
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        vc.process_audio(block)
+        ts.append(time.perf_counter() - t0)
+    block_ms = 1000 * median(ts)
+    return {"block_ms": round(block_ms, 2),
+            "block_s_audio": 0.512,
+            "headroom_x": round(512.0 / block_ms, 1)}
+
+
+def bench_training(cfg=None, shapes=((4, 400), (16, 400)),
+                   deep: int = 8) -> dict:
+    """Training-step roofline (VERDICT r4 #5): the production one-jit
+    GAN update (G fwd+bwd, D fwd+bwd, both optimizers, sanitize+clip)
+    timed by CHAINED dispatch (state feeds the next step, so queued
+    repeats cannot collapse) at realistic loader shapes, with analytic
+    FLOPs from XLA HLO cost analysis of a CPU lowering. Mirrors the
+    torch trainer's epoch timing discipline
+    (`rvc/train/train.py:142-160`) but with MFU accounting."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from rvc_tpu.configs import get_config
+    from rvc_tpu.train.train_step import (
+        Batch,
+        create_train_state,
+        make_train_step,
+    )
+    from rvc_tpu.utils.init_utils import cpu_backend, to_default_device
+
+    cfg = cfg or get_config(48000, model_spk_embed_dim=4)
+    hop = cfg.data.hop_length
+    sr = cfg.data.sample_rate
+    with cpu_backend():
+        state, net_g, net_d = create_train_state(
+            cfg, jax.random.PRNGKey(0), 100)
+    state = to_default_device(state)
+    step = make_train_step(cfg, net_g, net_d, 100, adversarial=True)
+    peaks = chip_peaks()
+    rng_np = np.random.default_rng(0)
+    out = {"adversarial": True,
+           "opt_mu_dtype": "bfloat16" if cfg.train.use_bf16 else "float32"}
+    for (B, T) in shapes:
+        f0 = np.tile(synth_f0_track(T)[None], (B, 1))
+        batch = Batch(
+            phone=jnp.asarray(0.3 * rng_np.standard_normal(
+                (B, T, cfg.model.text_enc_hidden_dim)), jnp.float32),
+            phone_lengths=jnp.full((B,), T, jnp.int32),
+            pitch=jnp.asarray(rng_np.integers(1, 256, (B, T)), jnp.int32),
+            pitchf=jnp.asarray(f0, jnp.float32),
+            spec=jnp.asarray(np.abs(rng_np.standard_normal(
+                (B, T, cfg.data.spec_channels))) * 0.1, jnp.float32),
+            spec_lengths=jnp.full((B,), T, jnp.int32),
+            wave=jnp.asarray(0.1 * rng_np.standard_normal(
+                (B, T * hop)), jnp.float32),
+            sid=jnp.zeros((B,), jnp.int32),
+        )
+        rng = jax.random.PRNGKey(1)
+        st, metrics = step(state, batch, rng)
+        jax.block_until_ready(st.step)
+        t0 = time.perf_counter()
+        for _ in range(deep):
+            st, metrics = step(st, batch, rng)
+        jax.block_until_ready(st.step)
+        per = (time.perf_counter() - t0) / deep
+
+        def lower_flops():
+            try:
+                with jax.default_device(jax.devices("cpu")[0]):
+                    lo = jax.jit(step).lower(
+                        jax.tree.map(
+                            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                            state),
+                        jax.tree.map(
+                            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                            batch),
+                        jax.ShapeDtypeStruct(rng.shape, rng.dtype))
+                    return (lo.cost_analysis() or {}).get("flops")
+            except Exception:
+                return None
+
+        flops = lower_flops()
+        row = {"step_ms": round(1000 * per, 2),
+               "audio_s_per_s": round(B * T * hop / sr / per, 1)}
+        if flops:
+            tf = flops / per / 1e12
+            row["gflops"] = round(flops / 1e9, 1)
+            row["achieved_tflops"] = round(tf, 2)
+            row["mfu"] = round(tf / peaks["bf16_tflops"], 4)
+        out[f"b{B}_t{T}"] = row
+    return out
+
+
 def main(duration: float = 13.5, runs: int = 5, deep: int = 16,
          cfg_kwargs: dict = None, n_vectors: int = N_INDEX_VECTORS,
-         cache_index: bool = True):
+         cache_index: bool = True, train_shapes=((4, 400), (16, 400)),
+         with_realtime: bool = True):
     """Defaults are the production driver bench; tests call with tiny
     settings on CPU (tests/unit/test_bench_harness.py)."""
     from rvc_tpu.utils.jax_setup import enable_compilation_cache
@@ -546,6 +681,25 @@ def main(duration: float = 13.5, runs: int = 5, deep: int = 16,
     # shape (analytic XLA-HLO FLOPs + measured stage times)
     roofline = stage_roofline(rvc, clip_chunks[0], deep=max(deep, 4))
 
+    # ---- realtime + training legs (VERDICT r4 #5/#6): same driver-
+    # captured record as the headline; a leg failure is recorded, not
+    # fatal (the headline must survive)
+    realtime_leg = None
+    if with_realtime:
+        try:
+            realtime_leg = bench_realtime(rvc)
+        except Exception as e:  # pragma: no cover - defensive
+            realtime_leg = {"error": f"{type(e).__name__}: {e}"}
+    training_leg = None
+    if train_shapes:
+        try:
+            training_leg = bench_training(
+                cfg=get_config(48000, **{"model_spk_embed_dim": 4,
+                                         **(cfg_kwargs or {})}),
+                shapes=train_shapes)
+        except Exception as e:  # pragma: no cover - defensive
+            training_leg = {"error": f"{type(e).__name__}: {e}"}
+
     rtf_on = duration / t_on
     rtf_off = duration / t_off
     import jax.numpy as jnp
@@ -564,14 +718,22 @@ def main(duration: float = 13.5, runs: int = 5, deep: int = 16,
         "link_host_share": round(max(0.0, 1.0 - device_s_per_clip / t_on), 3),
         "exact_spec_corr": round(corrs["exact_spec_corr"], 4),
         "exact_wave_corr": round(corrs["exact_wave_corr"], 6),
+        "exact_logmel_corr": round(corrs["exact_logmel_corr"], 4),
         "policy_spec_corr": round(corrs["policy_spec_corr"], 4),
         "policy_wave_corr": round(corrs["policy_wave_corr"], 6),
+        "policy_logmel_corr": round(corrs["policy_logmel_corr"], 4),
         "policy_index_spec_corr": round(corrs["policy_index_spec_corr"], 4),
         "policy_index_wave_corr": round(corrs["policy_index_wave_corr"], 6),
+        "policy_index_logmel_corr": round(
+            corrs["policy_index_logmel_corr"], 4),
         "compute_dtype": compute_dtype_name,
         "index_vectors": n_vectors,
         "roofline": roofline,
     }
+    if realtime_leg is not None:
+        record["realtime"] = realtime_leg
+    if training_leg is not None:
+        record["training"] = training_leg
     print(json.dumps(record))
 
     # full-config runs publish themselves: append to the session pool

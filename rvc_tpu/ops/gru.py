@@ -68,6 +68,8 @@ def bigru(
     x: jax.Array,
     fwd_params: dict,
     bwd_params: dict,
+    *,
+    unroll: int = 8,
 ) -> jax.Array:
     """Bidirectional GRU; concatenates forward and backward hidden sequences.
 
@@ -79,7 +81,11 @@ def bigru(
     recurrent matmuls batch into a single (2, B, H) x (2, H, 3H) einsum.
     The scan is the sequential bottleneck (per-step work is tiny at
     B=1), so halving the step count halves the BiGRU's wall time.
-    Numerics are identical to two independent scans.
+    `unroll` amortizes the loop's fixed per-iteration cost (output
+    dynamic-update-slice + bookkeeping) over several steps — numerics
+    are bit-identical (the steps still run in order, XLA just sees K of
+    them per loop body). Numerics are identical to two independent
+    scans.
     """
     B, T, _ = x.shape
     H = fwd_params["weight_hh"].shape[1]
@@ -112,7 +118,7 @@ def bigru(
         h_new = (1.0 - z) * n + z * h
         return h_new, h_new
 
-    _, ys = lax.scan(step, h0, xs)                         # (T, 2, B, H)
+    _, ys = lax.scan(step, h0, xs, unroll=unroll)          # (T, 2, B, H)
     fwd = jnp.moveaxis(ys[:, 0], 0, 1)                     # (B, T, H)
     bwd = jnp.moveaxis(ys[:, 1], 0, 1)[:, ::-1]
     return jnp.concatenate([fwd, bwd], axis=-1)

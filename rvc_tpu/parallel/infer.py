@@ -130,7 +130,9 @@ class BatchConverter:
                                NamedSharding(self.mesh, P("data")))
         sids = jnp.asarray(sids if sids is not None else np.zeros(B, np.int32))
 
-        f0 = self._f0_fn(self._rmvpe.variables, audio, pitch_shift)
+        f0 = self._f0_fn(self._rmvpe.serving_variables()
+                         if hasattr(self._rmvpe, "serving_variables")
+                         else self._rmvpe.variables, audio, pitch_shift)
         out = self._conv_fn(self.rvc.pipeline.synth_variables,
                             self.rvc.pipeline.hubert_variables,
                             audio, f0, sids, protect)

@@ -152,7 +152,8 @@ def _graph_knobs() -> tuple:
     return tuple(_os.environ.get(k, "") for k in (
         "RVC_TPU_PALLAS_MEL", "RVC_TPU_PALLAS_RESBLOCK",
         "RVC_TPU_PALLAS_ATTN", "RVC_TPU_BF16_F0",
-        "RVC_TPU_SOURCE_NOISE"))
+        "RVC_TPU_SOURCE_NOISE", "RVC_TPU_PACKED_UNET",
+        "RVC_TPU_PACKED_TC", "RVC_TPU_PACKED_POOL"))
 
 
 def _one_dispatch() -> bool:
@@ -379,14 +380,20 @@ class Pipeline:
         f16_out = _f16_out()
         from rvc_tpu.utils.packing import pack_tree, unpack_tree
 
-        if getattr(self, "_packed_dtype", None) != dtype:
+        # key includes the graph knobs: the RMVPE buffer's CONTENT
+        # depends on the packed-U-Net knobs (host-prepacked weights)
+        pk = (jnp.dtype(dtype).name, _graph_knobs())
+        if getattr(self, "_packed_dtype", None) != pk:
             # synth/hubert buffers ship in the compute dtype (bf16 =
             # half the dispatch bytes + HBM reads); RMVPE stays f32
             sb, ss = pack_tree(self.synth_variables, dtype)
             hb, hs = pack_tree(self.hubert_variables, dtype)
-            rb, rs = pack_tree(rmvpe.variables)
+            rvars = (rmvpe.serving_variables()
+                     if hasattr(rmvpe, "serving_variables")
+                     else rmvpe.variables)
+            rb, rs = pack_tree(rvars)
             self._packed = dict(bufs=(sb, hb, rb), specs=(ss, hs, rs))
-            self._packed_dtype = dtype
+            self._packed_dtype = pk
         one_dispatch = _one_dispatch()
         key = ("packed", use_index, jnp.dtype(dtype).name, f16_out,
                trim_frames, one_dispatch, _graph_knobs())
@@ -449,7 +456,10 @@ class Pipeline:
             fn_f0 = self._build_f0_program()
             fn_conv = self._build_fused(use_index, dtype, f16_out,
                                         trim_frames)
-            rv, sv, hv = rmvpe.variables, self.synth_variables, self.hubert_variables
+            rv = (rmvpe.serving_variables()
+                  if hasattr(rmvpe, "serving_variables")
+                  else rmvpe.variables)
+            sv, hv = self.synth_variables, self.hubert_variables
             if use_index:
                 f0_frozen = jax.jit(
                     lambda audio, ps, ats: fn_f0(rv, audio, ps, ats))
@@ -562,7 +572,10 @@ class Pipeline:
             if key not in self._fused:
                 self._fused[key] = self._build_fused(use_index, dtype,
                                                      _f16_out(), trim_frames)
-            f0 = self._fused[f0_key](rmvpe.variables, audio, ps_j, ats_j)
+            f0 = self._fused[f0_key](
+                rmvpe.serving_variables()
+                if hasattr(rmvpe, "serving_variables")
+                else rmvpe.variables, audio, ps_j, ats_j)
             if use_index:
                 out = self._fused[key](
                     self.synth_variables, self.hubert_variables, audio, f0,

@@ -22,7 +22,8 @@ def test_bench_main_tiny(tmp_path, capsys, monkeypatch):
                         str(tmp_path / "idx_cache.npz"))
     bench.main(duration=1.2, runs=1, deep=2, n_vectors=512,
                cfg_kwargs=dict(model_spk_embed_dim=2, model_n_layers=1,
-                               model_upsample_initial_channel=64))
+                               model_upsample_initial_channel=64),
+               train_shapes=((2, 48),), with_realtime=False)
     line = [l for l in capsys.readouterr().out.splitlines()
             if l.startswith("{")][-1]
     rec = json.loads(line)
@@ -35,3 +36,11 @@ def test_bench_main_tiny(tmp_path, capsys, monkeypatch):
     assert rec["device_ms_per_clip"] > 0
     assert 0.0 <= rec["link_host_share"] <= 1.0
     assert rec["index_vectors"] == 512
+    # r5: the reference's 80-mel perceptual metric is reported and the
+    # policy legs hold its 0.95 bar (bench.py asserts too)
+    assert rec["policy_logmel_corr"] > 0.95
+    assert rec["policy_index_logmel_corr"] > 0.95
+    # r5: training leg is part of the driver-captured record
+    tr = rec["training"]
+    key = [k for k in tr if k.startswith("b2_")][0]
+    assert tr[key]["step_ms"] > 0 and tr[key]["audio_s_per_s"] > 0

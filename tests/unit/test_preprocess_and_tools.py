@@ -192,6 +192,44 @@ def test_voice_metrics(sine_wave):
     assert m["pitch_accuracy"] == pytest.approx(2 / 3, abs=0.01)
 
 
+def test_log_mel_correlation():
+    """The reference's exact perceptual metric
+    (`benchmark_audio_parity.py:396-419`): 80-mel log-power dB with
+    per-signal peak ref and an 80 dB floor."""
+    from rvc_tpu.monitoring.voice_metrics import log_mel_correlation
+
+    sr = 48000
+    rng = np.random.default_rng(0)
+    t = np.arange(sr * 2) / sr
+    # speech-like: gliding harmonic stack + breath noise
+    f0 = 150 + 50 * np.sin(2 * np.pi * 0.7 * t)
+    ph = 2 * np.pi * np.cumsum(f0) / sr
+    y = sum(a * np.sin(h * ph) for h, a in
+            [(1, 0.5), (2, 0.25), (3, 0.1)])
+    y = (y + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+
+    assert log_mel_correlation(y, y, sr) == pytest.approx(1.0, abs=1e-9)
+    # per-signal peak normalization: global gain must not matter
+    assert log_mel_correlation(y, 7.3 * y, sr) == pytest.approx(
+        1.0, abs=1e-6)
+    # bf16-level broadband error (the serving policy's perturbation
+    # class) stays above the reference's 0.95 bar on this metric...
+    import ml_dtypes
+
+    y_bf16 = y.astype(ml_dtypes.bfloat16).astype(np.float32)
+    assert log_mel_correlation(y, y_bf16, sr) > 0.99
+    # ...while genuinely different audio fails it
+    other = rng.standard_normal(len(t)).astype(np.float32)
+    assert log_mel_correlation(y, other, sr) < 0.8
+    # and it tracks the stricter metric's ordering: louder additive
+    # noise monotonically degrades it
+    c1 = log_mel_correlation(
+        y, y + 0.003 * rng.standard_normal(len(t)).astype(np.float32), sr)
+    c2 = log_mel_correlation(
+        y, y + 0.05 * rng.standard_normal(len(t)).astype(np.float32), sr)
+    assert c1 > c2
+
+
 def test_tracker(tmp_path):
     t = SimpleTracker(str(tmp_path), "test")
     t.log_params({"lr": 1e-4})

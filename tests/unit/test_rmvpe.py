@@ -81,6 +81,92 @@ def test_rmvpe_random_init_runs(sine_wave):
     assert np.isfinite(f0).all()
 
 
+def test_packed_unet_matches_canonical(monkeypatch):
+    """RVC_TPU_PACKED_UNET frequency space-to-depth evaluation
+    (ops/packed_freq.py) is an EXACT transform — same sums, different
+    grouping — so salience must match the canonical path to float
+    accumulation-order noise."""
+    import jax.numpy as jnp
+
+    from rvc_tpu.models.rmvpe import RMVPE
+
+    rmvpe = RMVPE(seed=0)
+    rng = np.random.default_rng(7)
+    mel = jnp.asarray(rng.standard_normal((1, 64, 128)).astype(np.float32))
+    monkeypatch.setenv("RVC_TPU_PACKED_UNET", "0")
+    h_can = np.asarray(rmvpe.model.apply(rmvpe.variables, mel))
+    monkeypatch.setenv("RVC_TPU_PACKED_UNET", "1")
+    h_pack = np.asarray(rmvpe.model.apply(rmvpe.variables, mel))
+    assert np.abs(h_can - h_pack).max() < 1e-4
+
+
+def test_prepacked_serving_variables_match(monkeypatch):
+    """Host-prepacked weights (prepack_unet_variables) drive the same
+    packed graph to the same salience as canonical weights with
+    in-graph packing — and as the canonical graph."""
+    import jax.numpy as jnp
+
+    from rvc_tpu.models.rmvpe import RMVPE
+
+    rmvpe = RMVPE(seed=0)
+    rng = np.random.default_rng(11)
+    mel = jnp.asarray(rng.standard_normal((1, 64, 128)).astype(np.float32))
+    monkeypatch.setenv("RVC_TPU_PACKED_UNET", "0")
+    h_can = np.asarray(rmvpe.model.apply(rmvpe.serving_variables(), mel))
+    monkeypatch.setenv("RVC_TPU_PACKED_UNET", "1")
+    sv = rmvpe.serving_variables()
+    # prepack actually replaced the stage-1 conv weights
+    w = sv["params"]["unet"]["encoder_layers_0"]["blocks_0"]["conv_0"][
+        "weight"]
+    assert w.shape == (3, 3, 8 * 1, 8 * 16)
+    h_pre = np.asarray(rmvpe.model.apply(sv, mel))
+    assert np.abs(h_can - h_pre).max() < 1e-4
+    # tc sub-knob prepack keeps equivalence too
+    monkeypatch.setenv("RVC_TPU_PACKED_TC", "1")
+    h_tc = np.asarray(rmvpe.model.apply(rmvpe.serving_variables(), mel))
+    assert np.abs(h_can - h_tc).max() < 1e-4
+
+
+def test_packed_freq_conv_ops():
+    """Packed conv/pointwise/bn primitives against their canonical
+    lax counterparts on random shapes, including the edge groups."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from rvc_tpu.ops.packed_freq import (
+        pack,
+        packed_conv3,
+        packed_pointwise,
+        pick_pack,
+        unpack,
+    )
+
+    rng = np.random.default_rng(3)
+    for (t, f, cin, cout) in [(16, 128, 16, 16), (16, 64, 16, 32),
+                              (12, 128, 32, 16), (8, 128, 16, 3)]:
+        p = pick_pack(f, cout)
+        assert p * cout <= 128 and f % p == 0
+        x = jnp.asarray(rng.standard_normal((1, t, f, cin)),
+                        jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1,
+                        jnp.float32)
+        b = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+        y_ref = lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        y = unpack(packed_conv3(pack(x, p), w, p, b), p)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=2e-5, rtol=1e-5)
+        w1 = jnp.asarray(rng.standard_normal((1, 1, cin, cout)) * 0.1,
+                         jnp.float32)
+        y1_ref = lax.conv_general_dilated(
+            x, w1, (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y1 = unpack(packed_pointwise(pack(x, p), w1, p), p)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y1_ref),
+                                   atol=2e-5, rtol=1e-5)
+
+
 def test_e2e_bf16_trunk_close_to_f32():
     """bf16 mel input runs the U-Net trunk in bf16 (head pinned f32);
     salience must stay within the reference's 0.01 activation bar."""
