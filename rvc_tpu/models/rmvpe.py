@@ -450,7 +450,12 @@ class RMVPE:
         key = tuple(os.environ.get(k, "") for k in (
             "RVC_TPU_PACKED_UNET", "RVC_TPU_PACKED_TC"))
         if key not in self._serving_cache:
-            self._serving_cache[key] = prepack_unet_variables(self.variables)
+            v = prepack_unet_variables(self.variables)
+            # device-resident: prepack returns HOST arrays, and handing
+            # them to a jit re-uploads the whole tree EVERY call (moved
+            # a 64x60s longform run from 38 s to 163 s through the
+            # tunnel before this was caught)
+            self._serving_cache[key] = jax.device_put(v)
         return self._serving_cache[key]
 
     def mel(self, audio: jax.Array) -> jax.Array:

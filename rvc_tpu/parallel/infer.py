@@ -119,7 +119,13 @@ class BatchConverter:
         sids: Optional[np.ndarray] = None,
         pitch_shift: float = 0.0,
         protect: float = 0.5,
+        defer: bool = False,
     ) -> np.ndarray:
+        """Convert one equal-length batch. With defer=True the device
+        handle is returned without materializing, so a caller batching
+        multiple groups can overlap group i's D2H with group i+1's
+        compute (the blocking np.asarray otherwise serializes them —
+        advisor r4 found the same loss in the chunk-batch path)."""
         if self._conv_fn is None:
             self._build()
         B, T = audio_batch.shape
@@ -136,7 +142,7 @@ class BatchConverter:
         out = self._conv_fn(self.rvc.pipeline.synth_variables,
                             self.rvc.pipeline.hubert_variables,
                             audio, f0, sids, protect)
-        return np.asarray(out)
+        return out if defer else np.asarray(out)
 
     def convert_long_batch(
         self,
@@ -177,14 +183,21 @@ class BatchConverter:
         group_n = n_data * max(1, -(-(batch_size or n_data) // n_data))
         sid_arr = np.asarray(sids if sids is not None
                              else np.zeros(len(utterances), np.int32))
-        outs = {}
+        # dispatch EVERY group first (deferred device handles), then
+        # materialize in order: group i's D2H overlaps group i+1's
+        # compute instead of serializing on a blocking np.asarray
+        handles = []
         for bstart in range(0, len(jobs), group_n):
             group = jobs[bstart : bstart + group_n]
             while len(group) % group_n:  # pad the last batch
                 group.append(group[-1])
             batch = np.stack([g[2] for g in group])
             bs = np.asarray([sid_arr[g[0]] for g in group], np.int32)
-            conv = self.convert_batch(batch, bs, **kwargs)
+            handles.append((bstart, self.convert_batch(
+                batch, bs, defer=True, **kwargs)))
+        outs = {}
+        for bstart, h in handles:
+            conv = np.asarray(h)
             for g, c in zip(jobs[bstart : bstart + group_n], conv):
                 outs[(g[0], g[1])] = c
 
