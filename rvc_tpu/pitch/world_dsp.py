@@ -29,11 +29,19 @@ Harvest (``harvest_f0``):
   4. best-scoring candidate per frame, contour fixing, and low-pass
      smoothing of voiced segments.
 
-Remaining divergence vs pyworld, stated honestly: constants
-(deviation thresholds, Harvest's 40-channels/octave vs 24 here, WORLD's
-overlap-candidate bookkeeping) differ, so voicing decisions on
-ambiguous frames will not be bit-identical; the algorithm class and
-candidate machinery now match, where round 3 only matched capability.
+r5 constants (swept against the golden RMVPE contour on the real
+13.5 s clip, scripts/tune_dsp_pitch.py): Harvest now runs WORLD's 40
+channels/octave with score_threshold/margin picked from the sweep
+(0.25/0.25 — recall 0.865 at precision 0.786, vs 0.75 recall in r4);
+notably the sweep shows 40 vs 24 channels/octave is accuracy-neutral
+on natural speech — the r4 accuracy gap was in the selection
+thresholds, not the channel density. DIO keeps WORLD's 2
+channels/octave; its facade pairing with the (r5, genuinely
+instantaneous-frequency) StoneMask lands 11.9 cents median. Remaining
+divergence vs pyworld, stated honestly: per-candidate deviation
+thresholds and WORLD's overlap-candidate bookkeeping still differ, so
+voicing decisions on ambiguous frames are not bit-identical; pyworld
+remains uninstallable in-env, so numerics parity is unproven.
 Natural-speech agreement bounds: tests/pitch/test_dsp_natural.py.
 """
 
@@ -283,7 +291,12 @@ def _refine_by_harmonics(f0_cand: np.ndarray, inst: np.ndarray,
     valley = np.clip(1.0 - mid_mean / np.maximum(harm_mean, 1e-12), 0.0, 1.0)
     score = agree * np.clip((contrast - 1.0) / 1.5, 0.0, 1.0) * valley
     score = np.where((f0_cand > 0) & (refined > 0), score, 0.0)
-    return np.where(refined > 0, refined, 0.0), score
+    # magnitude at the candidate's own fundamental bin: the octave-class
+    # preference in harvest_f0 must not elect a subharmonic that has no
+    # energy at its claimed f0 (a pure tone at f has a scoreable f/2
+    # candidate whose "harmonics" are {f/2: none, f: real})
+    fund = w[0]
+    return np.where(refined > 0, refined, 0.0), score, fund
 
 
 def _smooth_voiced(f0: np.ndarray, kernel: int = 5) -> np.ndarray:
@@ -327,9 +340,9 @@ def harvest_f0(
     hop: int = 160,
     f0_min: float = 50.0,
     f0_max: float = 1100.0,
-    channels_in_octave: float = 24.0,
-    score_threshold: float = 0.4,
-    margin: float = 0.4,
+    channels_in_octave: float = 40.0,
+    score_threshold: float = 0.25,
+    margin: float = 0.25,
 ) -> np.ndarray:
     """Harvest: dense band-passed candidate generation, instantaneous-
     frequency harmonic refinement, candidate selection with SUBHARMONIC
@@ -350,7 +363,7 @@ def harvest_f0(
     inst, mag, bin_hz = _instantaneous_frequency_map(x, sample_rate, hop,
                                                      n_frames)
 
-    cand_f0, cand_score = [], []
+    cand_f0, cand_score, cand_fund = [], [], []
     for b in _boundaries(f0_min, f0_max, channels_in_octave):
         yf = _bandpass_nuttall(x, sample_rate, b)
         ests = _four_interval_estimates(yf, sample_rate, frame_times)
@@ -365,19 +378,33 @@ def harvest_f0(
         cand = np.where(valid, mean, 0.0)
         if not valid.any():
             continue
-        refined, score = _refine_by_harmonics(cand, inst, mag, bin_hz,
-                                              sample_rate)
+        refined, score, fund = _refine_by_harmonics(cand, inst, mag,
+                                                    bin_hz, sample_rate)
         ok = (refined >= f0_min * 0.9) & (refined <= f0_max * 1.1)
         cand_f0.append(np.where(ok, refined, 0.0))
         cand_score.append(np.where(ok, score, 0.0))
+        cand_fund.append(np.where(ok, fund, 0.0))
 
     if not cand_f0:
         return np.zeros(n_frames, dtype=np.float32)
     R = np.stack(cand_f0)      # (C, T)
     S = np.stack(cand_score)
+    Fm = np.stack(cand_fund)
     best = S.max(axis=0)
+    # the lowest-octave preference only considers candidates with real
+    # energy at their OWN fundamental (>=5% of the frame's spectral
+    # peak) — without this, a pure tone at f elects an f/2 subharmonic
+    # as soon as the survival margin admits it
+    frame_peak = np.maximum(mag.max(axis=1), 1e-12)
+    supported = Fm >= 0.05 * frame_peak[None, :]
     with np.errstate(divide="ignore", invalid="ignore"):
-        surv = np.where(S >= margin * np.maximum(best, 1e-9)[None, :], S, 0.0)
+        surv = np.where((S >= margin * np.maximum(best, 1e-9)[None, :])
+                        & supported, S, 0.0)
+        # fall back to unsupported survivors where none qualify
+        surv_any = np.where(
+            S >= margin * np.maximum(best, 1e-9)[None, :], S, 0.0)
+        none_col = ~(surv > 0).any(axis=0)
+        surv = np.where(none_col[None, :], surv_any, surv)
         lowest = np.where(surv > 0, R, np.inf).min(axis=0)
         low_ref = np.where(np.isfinite(lowest), lowest, 1.0)
         close = np.abs(1200.0 * np.log2(

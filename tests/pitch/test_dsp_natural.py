@@ -7,10 +7,12 @@ this pins each extractor against the REAL 13.5 s benchmark clip
 real pretrained RMVPE's golden contour (`rmvpe_f0.npy`, the reference's
 own parity oracle, `tests/pitch/test_parity.py:316+` analog).
 
-Bounds sit ~safety-margin below the measured r4 values (measured:
-dio agree 0.836 / w100 0.889 / med 23 c; harvest agree 0.787 /
-w100 0.805 / med 12 c; yin prec 1.00 / med 10 c) so regressions in the
-candidate generation, scoring, or octave logic fail loudly.
+Bounds tightened in r5 to the VERDICT targets after the
+scripts/tune_dsp_pitch.py sweep (measured r5: dio+stonemask med
+11.8 c / w100 0.911; harvest recall 0.865 @ precision 0.786 at WORLD's
+40 channels/octave; yin recall 0.675 @ precision 0.906 at CMND 0.35).
+The extractors are deterministic (pure numpy, no RNG), so thin margins
+are safe: any numerics change that degrades them fails loudly.
 """
 
 import os
@@ -54,10 +56,10 @@ def test_dio_natural_speech(clip, gold):
     from rvc_tpu.pitch.world_dsp import dio_f0
 
     s = _score(dio_f0(clip), gold)
-    assert s["agree"] > 0.78, s
+    assert s["agree"] > 0.80, s
     assert s["rec"] > 0.90, s          # DIO over-voices, never misses
-    assert s["med_cents"] < 40.0, s
-    assert s["within_100c"] > 0.82, s  # <18% octave/gross errors
+    assert s["med_cents"] < 30.0, s
+    assert s["within_100c"] > 0.85, s  # <15% octave/gross errors
 
 
 def test_dio_stonemask_natural_speech(clip, gold):
@@ -65,39 +67,46 @@ def test_dio_stonemask_natural_speech(clip, gold):
     from rvc_tpu.pitch.world_dsp import dio_f0
 
     s = _score(stonemask_refine(clip, dio_f0(clip)), gold)
-    assert s["agree"] > 0.78 and s["within_100c"] > 0.80, s
-    assert s["med_cents"] < 40.0, s
+    assert s["agree"] > 0.80 and s["within_100c"] > 0.88, s
+    # the VERDICT r4 #7 target: the pm-facade contour (dio+stonemask)
+    # lands <=15 c median on natural speech (measured 11.8 with the
+    # r5 instantaneous-frequency StoneMask)
+    assert s["med_cents"] < 15.0, s
 
 
 def test_harvest_natural_speech(clip, gold):
     from rvc_tpu.pitch.world_dsp import harvest_f0
 
     s = _score(harvest_f0(clip), gold)
-    assert s["agree"] > 0.72, s
+    assert s["agree"] > 0.78, s
     assert s["prec"] > 0.75, s
-    assert s["med_cents"] < 30.0, s    # voiced frames land on the f0
+    assert s["rec"] > 0.85, s          # VERDICT r4 #7 target (meas. 0.865)
+    assert s["med_cents"] < 25.0, s    # voiced frames land on the f0
     assert s["within_100c"] > 0.72, s
 
 
 def test_yin_natural_speech(clip, gold):
-    """YIN ("pm"): conservative voicing — high precision, sharp values
-    on the frames it does call voiced (r4 default threshold 0.25:
-    measured prec 0.978 / rec 0.50 / med 15.7 c on the real clip; the
-    old 0.15 default had rec 0.27)."""
+    """YIN: r5 default CMND threshold 0.35 — the sweep's best recall
+    that keeps precision >= 0.9 (measured prec 0.906 / rec 0.675 /
+    med 19.7 c; the r4 0.25 default had rec 0.50). VERDICT r4 #7
+    target: recall >= 0.65 at precision >= 0.9."""
     from rvc_tpu.pitch.dsp import yin_f0
 
     s = _score(yin_f0(clip), gold)
-    assert s["prec"] > 0.95, s
-    assert s["rec"] > 0.40, s
+    assert s["prec"] > 0.90, s
+    assert s["rec"] > 0.65, s
     assert s["med_cents"] < 25.0, s
-    assert s["within_100c"] > 0.80, s
+    assert s["within_100c"] > 0.72, s
 
 
 def test_cross_method_voiced_consensus(clip, gold):
     """Where dio AND harvest both call a frame voiced, they land in the
-    same octave class (within 100 cents) on >=70% of those frames — the
+    same octave class (within 100 cents) on most of those frames — the
     cross-method sanity the reference checks across its extractor set
-    (measured 0.76 on the r4 implementations)."""
+    (r5 measured 0.684: harvest's recall-tuned thresholds now include
+    more borderline frames where dio octave-errs, so the bound sits at
+    0.65; r4's 0.76 was on a harvest that skipped those frames
+    entirely, recall 0.75)."""
     from rvc_tpu.pitch.world_dsp import dio_f0, harvest_f0
 
     d, h = dio_f0(clip), harvest_f0(clip)
@@ -105,4 +114,4 @@ def test_cross_method_voiced_consensus(clip, gold):
     both = (d[:n] > 0) & (h[:n] > 0)
     assert both.sum() > 300
     cents = np.abs(1200.0 * np.log2(d[:n][both] / h[:n][both]))
-    assert (cents < 100).mean() > 0.70, (cents < 100).mean()
+    assert (cents < 100).mean() > 0.65, (cents < 100).mean()
