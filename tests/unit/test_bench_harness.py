@@ -23,7 +23,8 @@ def test_bench_main_tiny(tmp_path, capsys, monkeypatch):
     bench.main(duration=1.2, runs=1, deep=2, n_vectors=512,
                cfg_kwargs=dict(model_spk_embed_dim=2, model_n_layers=1,
                                model_upsample_initial_channel=64),
-               train_shapes=((2, 48),), with_realtime=False)
+               train_shapes=((2, 48),), with_realtime=False,
+               selfcheck_train_steps=2)
     line = [l for l in capsys.readouterr().out.splitlines()
             if l.startswith("{")][-1]
     rec = json.loads(line)
@@ -36,10 +37,13 @@ def test_bench_main_tiny(tmp_path, capsys, monkeypatch):
     assert rec["device_ms_per_clip"] > 0
     assert 0.0 <= rec["link_host_share"] <= 1.0
     assert rec["index_vectors"] == 512
-    # r5: the reference's 80-mel perceptual metric is reported and the
-    # policy legs hold its 0.95 bar (bench.py asserts too)
-    assert rec["policy_logmel_corr"] > 0.95
-    assert rec["policy_index_logmel_corr"] > 0.95
+    # r5: the reference's 80-mel perceptual metric is reported; the
+    # TRAINED-fixture leg carries its 0.95 bar (bench.py asserts too),
+    # the random-weight legs carry tripwires
+    assert rec["policy_logmel_corr"] > 0.88
+    assert rec["policy_index_logmel_corr"] > 0.88
+    assert rec["trained_logmel_corr"] > 0.95
+    assert rec["trained_wave_corr"] > 0.995
     # r5: training leg is part of the driver-captured record
     tr = rec["training"]
     key = [k for k in tr if k.startswith("b2_")][0]
