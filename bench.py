@@ -265,6 +265,7 @@ def self_check(rvc, audio, check_seconds: float = 4.0,
     # fp32 matmul precision, which the kernels' bf16 MXU passes cannot)
     oracle_env = {"RVC_TPU_BF16": "0", "RVC_TPU_PALLAS_RESBLOCK": "0",
                   "RVC_TPU_PALLAS_ATTN": "0", "RVC_TPU_PALLAS_MEL": "0",
+                  "RVC_TPU_PACKED_TAIL": "0",
                   "RVC_TPU_ONE_DISPATCH": "0"}
 
     def run_oracle_off_only():
@@ -484,7 +485,8 @@ def stage_roofline(rvc, chunk: np.ndarray, deep: int = 8) -> dict:
     # for lane utilization, and the roofline's numerator should be the
     # ALGORITHM's FLOPs, not the layout trick's
     pallas_off = {"RVC_TPU_PALLAS_MEL": "0", "RVC_TPU_PALLAS_RESBLOCK": "0",
-                  "RVC_TPU_PALLAS_ATTN": "0", "RVC_TPU_PACKED_UNET": "0"}
+                  "RVC_TPU_PALLAS_ATTN": "0", "RVC_TPU_PACKED_UNET": "0",
+                  "RVC_TPU_PACKED_TAIL": "0"}
     prev_env = {k: os.environ.get(k) for k in pallas_off}
     os.environ.update(pallas_off)
     try:

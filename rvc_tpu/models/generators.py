@@ -29,15 +29,33 @@ from rvc_tpu.models.layers import (
 )
 
 
+def _gather_resblock_weights(module, n_kernels, dilation_sizes, base_idx):
+    weights = []
+    for j in range(n_kernels):
+        sub = module.scope.get_variable(
+            "params", f"resblocks_{base_idx + j}")
+        nd = len(dilation_sizes[j])
+        for names in ("convs1", "convs2"):  # -> (w1, b1, w2, b2)
+            weights.append(jnp.stack(
+                [sub[f"{names}_{s}"]["weight"] for s in range(nd)]
+            ).astype(jnp.float32))
+            weights.append(jnp.stack(
+                [sub[f"{names}_{s}"]["bias"] for s in range(nd)]
+            ).astype(jnp.float32))
+    return tuple(weights)
+
+
 def _stage_resblocks(module, x, chan, kernel_sizes, dilation_sizes,
-                     base_idx) -> jax.Array:
+                     base_idx, packed_t: int | None = None) -> jax.Array:
     """Mean of one decoder stage's parallel ResBlocks.
 
     On single-chip TPU (and C <= 128) the whole stage runs as ONE fused
     Pallas pass (`resblock_group`): the input plane is read from HBM once
     and all chains + the mean stay in VMEM. Elsewhere (init, CPU, C=256
     first stage) each ResBlock runs standalone — which itself rides the
-    per-block fused kernel when enabled."""
+    per-block fused kernel when enabled. With packed_t set, x is in the
+    packed-lane layout (B, T/P, 128) from `ops/packed_tail.py` and the
+    group kernel consumes/returns it natively (no relayout)."""
     n_kernels = len(kernel_sizes)
     if not module.is_initializing():
         from rvc_tpu.ops.pallas.resblock import (
@@ -45,8 +63,16 @@ def _stage_resblocks(module, x, chan, kernel_sizes, dilation_sizes,
             _sub_channels,
             fused_resblock_enabled,
             resblock_group,
+            resblock_group_packed,
         )
 
+        if packed_t is not None:
+            weights = _gather_resblock_weights(
+                module, n_kernels, dilation_sizes, base_idx)
+            out = resblock_group_packed(
+                x.astype(jnp.float32), weights, tuple(kernel_sizes),
+                tuple(tuple(d) for d in dilation_sizes), chan, packed_t)
+            return out.astype(x.dtype)
         # group kernel only up to C'=128: the C=256 first stage's
         # concatenated tap bank is (126, 256, 256) bf16 = 16.5 MB —
         # alone at the 16 MB scoped-VMEM limit, and under the bf16
@@ -54,20 +80,10 @@ def _stage_resblocks(module, x, chan, kernel_sizes, dilation_sizes,
         # compile over it (v5e, r4). C=256 falls through to standalone
         # ResBlocks, whose per-block chain kernel banks are ~5.5 MB.
         if fused_resblock_enabled() and _sub_channels(chan) <= LANE:
-            weights = []
-            for j in range(n_kernels):
-                sub = module.scope.get_variable(
-                    "params", f"resblocks_{base_idx + j}")
-                nd = len(dilation_sizes[j])
-                for names in ("convs1", "convs2"):  # -> (w1, b1, w2, b2)
-                    weights.append(jnp.stack(
-                        [sub[f"{names}_{s}"]["weight"] for s in range(nd)]
-                    ).astype(jnp.float32))
-                    weights.append(jnp.stack(
-                        [sub[f"{names}_{s}"]["bias"] for s in range(nd)]
-                    ).astype(jnp.float32))
+            weights = _gather_resblock_weights(
+                module, n_kernels, dilation_sizes, base_idx)
             out = resblock_group(
-                x.astype(jnp.float32), tuple(weights), tuple(kernel_sizes),
+                x.astype(jnp.float32), weights, tuple(kernel_sizes),
                 tuple(tuple(d) for d in dilation_sizes))
             return out.astype(x.dtype)
     xs = None
@@ -195,10 +211,69 @@ class HiFiGANNSFGenerator(nn.Module):
             x = x + Conv1d(self.gin_channels, self.upsample_initial_channel, 1,
                            name="cond")(g)
 
+        # packed-lane tail: once C drops below the 128-lane tile, keep
+        # P = 128/C timesteps folded into the lane dim BETWEEN ops so no
+        # lane-padded (B, T_audio, 32/64) plane ever reaches HBM
+        # (`ops/packed_tail.py`; composes with the fused ResBlock group
+        # kernel, which consumes/returns the packed layout natively)
+        from rvc_tpu.ops.packed_tail import (
+            LANE as _LANE,
+            conv_packed,
+            convt_packed,
+            noise_conv_packed,
+            packed_tail_enabled,
+        )
+        if not self.is_initializing():
+            from rvc_tpu.ops.pallas.resblock import fused_resblock_enabled
+            packed_ok = packed_tail_enabled() and fused_resblock_enabled()
+        else:
+            packed_ok = False
+
+        har_len = har_source.shape[1]
+        pack = 1
         for i, (u, k) in enumerate(zip(rates, self.upsample_kernel_sizes)):
             in_ch = self.upsample_initial_channel // (2 ** i)
             pad = (k - u) // 2 if u % 2 == 0 else u // 2 + u % 2
             out_pad = u % 2
+
+            stride_f0 = math.prod(rates[i + 1:]) if i + 1 < n_up else 1
+            nk = 1 if stride_f0 == 1 else stride_f0 * 2 - stride_f0 % 2
+            np_ = 0 if stride_f0 == 1 else (nk - stride_f0) // 2
+
+            cur_t = x.shape[1] * pack
+            t_up = (cur_t - 1) * u - 2 * pad + k + out_pad
+            t_n = (har_len + 2 * np_ - nk) // stride_f0 + 1
+            want_pack = (
+                packed_ok and chans[i] < _LANE and _LANE % chans[i] == 0
+                and out_pad == 0 and in_ch * pack == _LANE
+                and _LANE // chans[i] == u * pack
+                and t_up == u * cur_t and t_n == t_up
+                and (stride_f0 == 1
+                     or stride_f0 * ((_LANE // chans[i]) - 1) + nk
+                     <= 2 * (_LANE // chans[i]) * stride_f0))
+            if want_pack:
+                p_out = _LANE // chans[i]
+                wt = self.scope.get_variable("params", f"ups_{i}")
+                x = convt_packed(
+                    leaky_relu(x), wt["weight"].astype(x.dtype),
+                    wt["bias"].astype(x.dtype), stride=u, padding=pad,
+                    p_in=pack, p_out=p_out)
+                nw = self.scope.get_variable("params", f"noise_convs_{i}")
+                n = noise_conv_packed(
+                    har_source[..., 0], nw["weight"].astype(x.dtype),
+                    nw["bias"].astype(x.dtype), stride=stride_f0,
+                    padding=np_, p_out=p_out)
+                x = x + n
+                pack = p_out
+                x = _stage_resblocks(self, x, chans[i],
+                                     tuple(self.resblock_kernel_sizes),
+                                     tuple(tuple(d) for d in
+                                           self.resblock_dilation_sizes),
+                                     i * n_kernels, packed_t=t_up)
+                continue
+            if pack > 1:  # config stopped qualifying: back to canonical
+                x = x.reshape(x.shape[0], cur_t, in_ch)
+                pack = 1
 
             x = leaky_relu(x)
             x = ConvTranspose1d(in_ch, chans[i], k, stride=u, padding=pad,
@@ -207,9 +282,6 @@ class HiFiGANNSFGenerator(nn.Module):
 
             # f0 source tap: downsample the audio-rate source to this stage's
             # rate with a strided conv (stride = prod of remaining rates).
-            stride_f0 = math.prod(rates[i + 1:]) if i + 1 < n_up else 1
-            nk = 1 if stride_f0 == 1 else stride_f0 * 2 - stride_f0 % 2
-            np_ = 0 if stride_f0 == 1 else (nk - stride_f0) // 2
             n = Conv1d(1, chans[i], nk, stride=stride_f0, padding=np_,
                        name=f"noise_convs_{i}")(har_source)
             if x.shape[1] != n.shape[1]:
@@ -222,6 +294,13 @@ class HiFiGANNSFGenerator(nn.Module):
                                  tuple(tuple(d) for d in
                                        self.resblock_dilation_sizes),
                                  i * n_kernels)
+
+        if pack > 1:
+            wp = self.scope.get_variable("params", "conv_post")
+            y = conv_packed(leaky_relu(x, 0.01),
+                            wp["weight"].astype(x.dtype), None,
+                            padding=3, p_in=pack)
+            return jnp.tanh(y).reshape(y.shape[0], y.shape[1] * pack, 1)
 
         x = leaky_relu(x, 0.01)  # default torch leaky_relu slope at the tail
         x = Conv1d(chans[-1], 1, 7, padding=3, use_bias=False, name="conv_post")(x)
@@ -255,16 +334,59 @@ class HiFiGANGenerator(nn.Module):
         if g is not None:
             x = x + Conv1d(self.gin_channels, self.upsample_initial_channel, 1,
                            name="cond")(g)
+        from rvc_tpu.ops.packed_tail import (
+            LANE as _LANE,
+            conv_packed,
+            convt_packed,
+            packed_tail_enabled,
+        )
+        if not self.is_initializing():
+            from rvc_tpu.ops.pallas.resblock import fused_resblock_enabled
+            packed_ok = packed_tail_enabled() and fused_resblock_enabled()
+        else:
+            packed_ok = False
+
+        pack = 1
         for i, (u, k) in enumerate(zip(rates, self.upsample_kernel_sizes)):
             in_ch = self.upsample_initial_channel // (2 ** i)
+            pad = (k - u) // 2
+            cur_t = x.shape[1] * pack
+            t_up = (cur_t - 1) * u - 2 * pad + k
+            want_pack = (
+                packed_ok and chans[i] < _LANE and _LANE % chans[i] == 0
+                and u % 2 == 0 and in_ch * pack == _LANE
+                and _LANE // chans[i] == u * pack and t_up == u * cur_t)
+            if want_pack:
+                p_out = _LANE // chans[i]
+                wt = self.scope.get_variable("params", f"ups_{i}")
+                x = convt_packed(
+                    leaky_relu(x), wt["weight"].astype(x.dtype),
+                    wt["bias"].astype(x.dtype), stride=u, padding=pad,
+                    p_in=pack, p_out=p_out)
+                pack = p_out
+                x = _stage_resblocks(self, x, chans[i],
+                                     tuple(self.resblock_kernel_sizes),
+                                     tuple(tuple(d) for d in
+                                           self.resblock_dilation_sizes),
+                                     i * n_kernels, packed_t=t_up)
+                continue
+            if pack > 1:
+                x = x.reshape(x.shape[0], cur_t, in_ch)
+                pack = 1
             x = leaky_relu(x)
-            x = ConvTranspose1d(in_ch, chans[i], k, stride=u, padding=(k - u) // 2,
+            x = ConvTranspose1d(in_ch, chans[i], k, stride=u, padding=pad,
                                 weight_init_std=0.01, name=f"ups_{i}")(x)
             x = _stage_resblocks(self, x, chans[i],
                                  tuple(self.resblock_kernel_sizes),
                                  tuple(tuple(d) for d in
                                        self.resblock_dilation_sizes),
                                  i * n_kernels)
+        if pack > 1:
+            wp = self.scope.get_variable("params", "conv_post")
+            y = conv_packed(leaky_relu(x, 0.01),
+                            wp["weight"].astype(x.dtype), None,
+                            padding=3, p_in=pack)
+            return jnp.tanh(y).reshape(y.shape[0], y.shape[1] * pack, 1)
         x = leaky_relu(x, 0.01)
         x = Conv1d(chans[-1], 1, 7, padding=3, use_bias=False, name="conv_post")(x)
         return jnp.tanh(x)

@@ -283,7 +283,7 @@ def _kernel_group(x_ref, bank_ref, b1_ref, b2_ref, out_ref, xbuf, sem, *,
 
 @functools.partial(
     jax.jit, static_argnames=("kernel_sizes", "dilations", "slope",
-                              "interpret"))
+                              "interpret", "packed_channels", "packed_t"))
 def fused_resblock_group(
     x: jax.Array,                       # (B, T, C) float32
     weights: tuple,                     # flat (w1, b1, w2, b2) per block
@@ -291,6 +291,8 @@ def fused_resblock_group(
     dilations: tuple,                   # per block, e.g. ((1,3,5),)*3
     slope: float = 0.1,
     interpret: bool | None = None,
+    packed_channels: int | None = None,
+    packed_t: int | None = None,
 ) -> jax.Array:
     """Mean of several parallel ResBlock chains (one HiFi-GAN decoder
     stage) computed in a single Pallas pass: the input tile is read from
@@ -302,13 +304,23 @@ def fused_resblock_group(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    B, T, C = x.shape
+    if packed_channels is not None:
+        # x arrives ALREADY in the packed-lane layout (B, R, pack*C')
+        # from `ops/packed_tail.py` (decoder tail keeps time folded
+        # into lanes across stage boundaries); packed_t is the true
+        # sequence length for the boundary-validity mask.
+        B, _, _ = x.shape
+        C, T = packed_channels, packed_t
+    else:
+        B, T, C = x.shape
     n_blocks = len(kernel_sizes)
     assert len(weights) == 4 * n_blocks and len(dilations) == n_blocks
 
     cprime = _sub_channels(C)
     pack = max(1, LANE // cprime)
     PC = pack * cprime
+    if packed_channels is not None:
+        assert cprime == C and x.shape[2] == PC, (C, x.shape)
     # C == 256 runs un-packed with a 256-lane tile (two native lane
     # groups): banks are (J, 256, 256) bf16 ≈ 5.5 MB for the NSF stage-0
     # chain set, which fits scoped VMEM beside a 512-row tile
@@ -353,12 +365,17 @@ def fused_resblock_group(
     else:
         tile = 1536 if off <= 48 else 1024
 
-    R = math.ceil(T / pack)
-    if cprime != C:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, cprime - C)))
-    if R * pack != T:
-        x = jnp.pad(x, ((0, 0), (0, R * pack - T), (0, 0)))
-    xp = x.reshape(B, R, PC)
+    if packed_channels is not None:
+        R = x.shape[1]
+        assert R * pack == T, (R, pack, T)
+        xp = x
+    else:
+        R = math.ceil(T / pack)
+        if cprime != C:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, cprime - C)))
+        if R * pack != T:
+            x = jnp.pad(x, ((0, 0), (0, R * pack - T), (0, 0)))
+        xp = x.reshape(B, R, PC)
 
     n_t = max(1, math.ceil(R / tile))
     tail = n_t * tile + halo - R
@@ -389,6 +406,8 @@ def fused_resblock_group(
         )(batch_row, bank, b1p, b2p)
 
     out = jnp.concatenate([one(xp[b:b + 1]) for b in range(B)], axis=0)
+    if packed_channels is not None:
+        return out[:, :R, :]            # stay in the packed layout
     out = out[:, :R, :].reshape(B, R * pack, cprime)
     return out[:, :T, :C]
 
@@ -426,6 +445,44 @@ def _group_bwd(kernel_sizes, dilations, slope, res, g):
 
 
 resblock_group.defvjp(_group_fwd, _group_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def resblock_group_packed(x, weights, kernel_sizes, dilations,
+                          channels, t_valid, slope=0.1):
+    """`resblock_group` on the packed-lane layout (B, R, 128) from
+    `ops/packed_tail.py`: Pallas forward stays packed end-to-end; the
+    XLA backward unpacks (a reshape — exact for C' == C), runs the
+    reference chain's vjp, and repacks the gradient."""
+    return fused_resblock_group(x, weights, kernel_sizes, dilations,
+                                slope, packed_channels=channels,
+                                packed_t=t_valid)
+
+
+def _group_packed_fwd(x, weights, kernel_sizes, dilations, channels,
+                      t_valid, slope):
+    out = fused_resblock_group(x, weights, kernel_sizes, dilations,
+                               slope, packed_channels=channels,
+                               packed_t=t_valid)
+    return out, (x, weights)
+
+
+def _group_packed_bwd(kernel_sizes, dilations, channels, t_valid, slope,
+                      res, g):
+    x, weights = res
+    B, R, PC = x.shape
+
+    def ref(xp, ws):
+        xc = xp.reshape(B, t_valid, channels)
+        yc = _xla_resblock_group(xc, ws, kernel_sizes=kernel_sizes,
+                                 dilations=dilations, slope=slope)
+        return yc.reshape(B, R, PC)
+
+    _, vjp = jax.vjp(ref, x, weights)
+    return vjp(g)
+
+
+resblock_group_packed.defvjp(_group_packed_fwd, _group_packed_bwd)
 
 
 def fused_resblock_enabled() -> bool:

@@ -153,7 +153,8 @@ def _graph_knobs() -> tuple:
         "RVC_TPU_PALLAS_MEL", "RVC_TPU_PALLAS_RESBLOCK",
         "RVC_TPU_PALLAS_ATTN", "RVC_TPU_BF16_F0",
         "RVC_TPU_SOURCE_NOISE", "RVC_TPU_PACKED_UNET",
-        "RVC_TPU_PACKED_TC", "RVC_TPU_PACKED_POOL"))
+        "RVC_TPU_PACKED_TC", "RVC_TPU_PACKED_POOL",
+        "RVC_TPU_PACKED_TAIL"))
 
 
 def _one_dispatch() -> bool:
