@@ -646,7 +646,14 @@ def bench_training(cfg=None, shapes=((4, 400), (16, 400)),
             sid=jnp.zeros((B,), jnp.int32),
         )
         rng = jax.random.PRNGKey(1)
-        st, metrics = step(state, batch, rng)
+        # the train step donates its state arg (train_step.py
+        # donate_argnums); hand each shape a FRESH copy so the pristine
+        # `state` is never consumed — reusing it across shapes raises
+        # "Array has been deleted" on the second shape's warmup
+        st = jax.tree.map(
+            lambda a: jnp.copy(a) if isinstance(a, jax.Array) else a,
+            state)
+        st, metrics = step(st, batch, rng)
         jax.block_until_ready(st.step)
         t0 = time.perf_counter()
         for _ in range(deep):

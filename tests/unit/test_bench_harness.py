@@ -23,7 +23,7 @@ def test_bench_main_tiny(tmp_path, capsys, monkeypatch):
     bench.main(duration=1.2, runs=1, deep=2, n_vectors=512,
                cfg_kwargs=dict(model_spk_embed_dim=2, model_n_layers=1,
                                model_upsample_initial_channel=64),
-               train_shapes=((2, 48),), with_realtime=False,
+               train_shapes=((2, 48), (3, 48)), with_realtime=False,
                selfcheck_train_steps=2)
     line = [l for l in capsys.readouterr().out.splitlines()
             if l.startswith("{")][-1]
@@ -44,7 +44,11 @@ def test_bench_main_tiny(tmp_path, capsys, monkeypatch):
     assert rec["policy_index_logmel_corr"] > 0.88
     assert rec["trained_logmel_corr"] > 0.95
     assert rec["trained_wave_corr"] > 0.995
-    # r5: training leg is part of the driver-captured record
+    # r5: training leg is part of the driver-captured record; TWO
+    # shapes pin the donated-state reuse bug (the jitted step donates
+    # its state arg — shape 2 must not see shape 1's deleted buffers)
     tr = rec["training"]
-    key = [k for k in tr if k.startswith("b2_")][0]
-    assert tr[key]["step_ms"] > 0 and tr[key]["audio_s_per_s"] > 0
+    assert "error" not in tr, tr
+    for prefix in ("b2_", "b3_"):
+        key = [k for k in tr if k.startswith(prefix)][0]
+        assert tr[key]["step_ms"] > 0 and tr[key]["audio_s_per_s"] > 0
