@@ -662,6 +662,19 @@ def bench_training(cfg=None, shapes=((4, 400), (16, 400)),
         per = (time.perf_counter() - t0) / deep
 
         def lower_flops():
+            # force the Pallas/packed paths off for the analytic
+            # lowering: Mosaic kernels cannot lower for the CPU cost-
+            # analysis backend (in a TPU process the knobs default ON,
+            # which silently dropped gflops/mfu from the training leg),
+            # and the roofline numerator should be the ALGORITHM's
+            # FLOPs — same convention as stage_roofline's pallas_off
+            pallas_off = {"RVC_TPU_PALLAS_MEL": "0",
+                          "RVC_TPU_PALLAS_RESBLOCK": "0",
+                          "RVC_TPU_PALLAS_ATTN": "0",
+                          "RVC_TPU_PACKED_UNET": "0",
+                          "RVC_TPU_PACKED_TAIL": "0"}
+            prev_env = {k: os.environ.get(k) for k in pallas_off}
+            os.environ.update(pallas_off)
             try:
                 with jax.default_device(jax.devices("cpu")[0]):
                     lo = jax.jit(step).lower(
@@ -675,6 +688,12 @@ def bench_training(cfg=None, shapes=((4, 400), (16, 400)),
                     return (lo.cost_analysis() or {}).get("flops")
             except Exception:
                 return None
+            finally:
+                for k, v in prev_env.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
 
         flops = lower_flops()
         row = {"step_ms": round(1000 * per, 2),
